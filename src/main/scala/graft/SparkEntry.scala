@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.{AnalyticsDomain, Corpus}
+import graft.ops.{AnnOps, DedupOps, MultimodalOps, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data operator set), each with a DuckDB
+  * oracle in [[SparkEntry.oracleSql]] where ANSI-SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full KG-construction pipeline -> triples, on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Corpus.fromDocumentsTable(
+      tbl(spark, "/root/testdata/sf0.001", "documents"))
+    val pipe = KgPipeline.analytics(spark)
+    val (_, _, triples) = pipe.run(docs)
+    triples.toDF()
+  }
+
+  // ------------------------------------------------------------ KG queries
+
+  private def kgDocs(s: SparkSession, dir: String) =
+    Corpus.fromDocumentsTable(tbl(s, dir, "documents"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational baseline (scan/filter/agg/join/window/top-k) --
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+    "q2_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+    }),
+    "q3_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q4_topk" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    "q5_events_window" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    // -- KG construction pipeline (mention detect -> translate -> dedup) --
+    "kg_mentions" -> ((s, dir) => {
+      val pipe = KgPipeline.analytics(s)
+      pipe.mentions(kgDocs(s, dir))
+        .filter(col("cls") =!= "media")
+        .select(col("doc_id"), col("curie")).distinct()
+    }),
+    "kg_nodes" -> ((s, dir) => {
+      val pipe = KgPipeline.analytics(s)
+      pipe.nodes(pipe.mentions(kgDocs(s, dir)))
+        .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
+    }),
+    "kg_triples" -> ((s, dir) => {
+      val pipe = KgPipeline.analytics(s)
+      val (_, _, t) = pipe.run(kgDocs(s, dir))
+      t.toDF()
+    }),
+    "kg_cooccurrence" -> ((s, dir) => {
+      val pipe = KgPipeline.analytics(s)
+      import graft.extract.Mentions
+      Mentions.cooccurrence(pipe.mentions(kgDocs(s, dir)))
+        .select(col("src"), col("tgt"), col("n_docs"))
+    }),
+    "kg_schema_info" -> ((s, dir) => {
+      val pipe = KgPipeline.analytics(s)
+      val ms = pipe.mentions(kgDocs(s, dir))
+      val ns = pipe.nodes(ms)
+      val es = pipe.mentionEdges(ms).union(pipe.cooccurrenceEdges(ms))
+      graft.sinks.Tables.schemaInfo(pipe.bcCtx.value, ns, es)
+        .select(col("label"), col("kind"), col("n"))
+    }),
+    "kg_headers" -> ((s, dir) => {
+      import s.implicits._
+      val pipe = KgPipeline.analytics(s)
+      val ms = pipe.mentions(kgDocs(s, dir))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hdr-").toString
+      val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value, tmp)
+      sink.writeNodes(pipe.nodes(ms))
+      sink.writeEdges(pipe.mentionEdges(ms).union(pipe.cooccurrenceEdges(ms)))
+      sink.headerRows().toDF("label", "header")
+    }),
+    "kg_label_hierarchy" -> ((s, dir) => {
+      import s.implicits._
+      val ctx = AnalyticsDomain.context()
+      ctx.ancestors.keys.toSeq.sorted
+        .map(k => (k, ctx.labelsCell(k))).toDF("cls", "labels")
+    }),
+
+    // -- training-data ops: text analysis --
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextOps.qualityScores(tbl(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(tbl(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
+
+    // -- training-data ops: dedup --
+    "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(tbl(s, dir, "documents"))),
+    "dedup_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(tbl(s, dir, "documents"), n = 2, minJ = 0.2)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.lshBuckets(tbl(s, dir, "documents"), n = 2, k = 16, r = 4)),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhash(tbl(s, dir, "documents"))),
+
+    // -- training-data ops: similarity search --
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      AnnOps.cosineTopK(emb, q, excludeId = 0L, k = 10)
+    }),
+    "ann_lsh_hist" -> ((s, dir) =>
+      AnnOps.bucketHistogram(tbl(s, dir, "embeddings"), nBits = 8)),
+
+    // -- multimodal plumbing --
+    "mm_media_meta" -> ((s, dir) =>
+      MultimodalOps.decodeMetadata(MultimodalOps.mediaSpans(kgDocs(s, dir)))
+        .withColumnRenamed("offset", "span_offset")),
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** Shared dictionary CTE for the KG oracles, generated from the same
+    * domain table the pipeline broadcasts. */
+  private def dictValues: String =
+    AnalyticsDomain.dictionary.map { case (term, cls, curie) =>
+      val pfx = curie.split(':').head
+      val pascal = graft.model.Naming.nameSentenceToPascal(cls)
+      s"('$term','$cls','$curie','$pfx','$pascal')"
+    }.mkString(", ")
+
+  private def dictCte: String =
+    s"WITH dict(term, cls, curie, pfx, pascal) AS (VALUES $dictValues)"
+
+  private val tokHash = "('0x'||substr(md5(w),1,14))::BIGINT"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "kg_mentions" ->
+      s"""$dictCte
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
+         |FROM documents d JOIN dict t
+         |  ON (' '||d.text||' ') LIKE ('% '||t.term||' %')""".stripMargin,
+    "kg_nodes" ->
+      s"""$dictCte
+         |SELECT DISTINCT t.curie AS id, t.cls AS label, t.pfx AS preferred_id
+         |FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |UNION ALL
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
+         |FROM documents d WHERE EXISTS (
+         |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
+    "kg_triples" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
+         |SELECT DISTINCT curie AS subj, 'rdf:type' AS pred, pascal AS obj FROM m
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'rdf:type', 'Document' FROM m
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'MENTIONS', curie FROM m
+         |UNION ALL
+         |SELECT a.curie, 'COOCCURS_WITH', b.curie FROM
+         | (SELECT DISTINCT doc_id, curie FROM m) a
+         | JOIN (SELECT DISTINCT doc_id, curie FROM m) b
+         |   ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |GROUP BY a.curie, b.curie""".stripMargin,
+    "kg_cooccurrence" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
+         |SELECT a.curie AS src, b.curie AS tgt, count(*) AS n_docs
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |GROUP BY a.curie, b.curie""".stripMargin,
+    "kg_schema_info" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
+         |SELECT cls AS label, 'node' AS kind, count(DISTINCT curie) AS n FROM m GROUP BY cls
+         |UNION ALL
+         |SELECT 'document', 'node', count(DISTINCT doc_id) FROM m
+         |UNION ALL
+         |SELECT 'MENTIONS', 'edge', count(*) FROM (SELECT DISTINCT doc_id, curie FROM m)
+         |UNION ALL
+         |SELECT 'COOCCURS_WITH', 'edge', count(*) FROM (
+         |  SELECT DISTINCT a.curie, b.curie FROM m a JOIN m b
+         |    ON a.doc_id = b.doc_id AND a.curie < b.curie)""".stripMargin,
+    "kg_headers" ->
+      """SELECT * FROM (VALUES
+        |  ('Document', ':ID;id;preferred_id;:LABEL'),
+        |  ('ExecutionEngine', ':ID;name;id;preferred_id;:LABEL'),
+        |  ('RelationalOperator', ':ID;name;id;preferred_id;:LABEL'),
+        |  ('StorageStructure', ':ID;name;id;preferred_id;:LABEL'),
+        |  ('Workload', ':ID;name;id;preferred_id;:LABEL'),
+        |  ('COOCCURS_WITH', ':START_ID;id;n_docs:long;:END_ID;:TYPE'),
+        |  ('MENTIONS', ':START_ID;id;:END_ID;:TYPE')
+        |) AS t(label, header)""".stripMargin,
+    "kg_label_hierarchy" ->
+      """SELECT * FROM (VALUES
+        |  ('co occurrence', '''CoOccurrence|Association|Entity'''),
+        |  ('document', '''Document|Artifact|Entity'''),
+        |  ('execution engine', '''ExecutionEngine|Artifact|Entity'''),
+        |  ('mention', '''Mention|Association|Entity'''),
+        |  ('relational operator', '''RelationalOperator|Operation|Entity'''),
+        |  ('storage structure', '''StorageStructure|Artifact|Entity'''),
+        |  ('workload', '''Workload|Operation|Entity''')
+        |) AS t(cls, labels)""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('a','the'))) AS BIGINT) AS n_stopwords,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('a','the'))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS stopword_ratio,
+        | CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |   / len(string_split(text,' ')) AS mean_token_len,
+        | CASE WHEN len(string_split(text,' ')) < 20 THEN 'short'
+        |      WHEN CAST(len(list_filter(string_split(text,' '), w -> w IN ('a','the'))) AS DOUBLE)
+        |           / len(string_split(text,' ')) > 0.2 THEN 'boilerplate'
+        |      ELSE 'good' END AS quality
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         | SUM((($tokHash % 1000000007) * pos) % 1000000007) % 1000000007 AS fingerprint
+         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+         |        generate_subscripts(string_split(text,' '), 1) AS pos
+         |      FROM documents)
+         |GROUP BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang AS actual_lang,
+        | CAST(len(list_filter(string_split(text,' '), w -> w = 'the')) AS BIGINT) AS n_en,
+        | CAST(len(list_filter(string_split(text,' '), w -> w = 'a')) AS BIGINT) AS n_es,
+        | CAST(len(list_filter(string_split(text,' '), w -> w = 'data')) AS BIGINT) AS n_de,
+        | CASE WHEN len(list_filter(string_split(text,' '), w -> w = 'data')) >
+        |        GREATEST(len(list_filter(string_split(text,' '), w -> w = 'the')),
+        |                 len(list_filter(string_split(text,' '), w -> w = 'a')))
+        |      THEN 'de'
+        |      WHEN len(list_filter(string_split(text,' '), w -> w = 'a')) >
+        |        len(list_filter(string_split(text,' '), w -> w = 'the'))
+        |      THEN 'es' ELSE 'en' END AS predicted_lang,
+        | CASE WHEN len(list_filter(string_split(text,' '), w -> w = 'data')) >
+        |        GREATEST(len(list_filter(string_split(text,' '), w -> w = 'the')),
+        |                 len(list_filter(string_split(text,' '), w -> w = 'a')))
+        |      THEN 'de'
+        |      WHEN len(list_filter(string_split(text,' '), w -> w = 'a')) >
+        |        len(list_filter(string_split(text,' '), w -> w = 'the'))
+        |      THEN 'es' ELSE 'en' END = lang AS agrees
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS shingle
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+        |       WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT doc_a, doc_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  CAST(n_common AS DOUBLE)/(ca.n_sh + cb.n_sh - n_common) AS jaccard
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(n_common AS DOUBLE)/(ca.n_sh + cb.n_sh - n_common) >= 0.2""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
+        |              ELSE array_to_string(t, ' ') END AS shingle
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-1, 1))) AS i) s),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,14))::BIGINT % 1000000007 AS hv FROM sh),
+        |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
+        |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
+        |        GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |  array_to_string(list(sg ORDER BY j), '_') AS bucket
+        |FROM sig GROUP BY doc_id, j // 4""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+         |h AS (SELECT doc_id, $tokHash AS hv FROM toks),
+         |bits AS (SELECT doc_id, b,
+         |           SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |         FROM h, (SELECT unnest(generate_series(0,15)) AS b) bs
+         |         GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ee
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(ee, qe) /
+        |    (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+        |FROM e, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_lsh_hist" ->
+      """SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |      + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |      + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::BIGINT AS bucket,
+        | count(*) AS n
+        |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image' AS kind,
+        | 'media://img/'||doc_id AS media_ref, 1 AS span_offset,
+        | ('0x'||substr(md5('media://img/'||doc_id),1,2))::BIGINT AS width,
+        | ('0x'||substr(md5('media://img/'||doc_id),3,2))::BIGINT AS height,
+        | CAST(1 AS BIGINT) AS n_frames, CAST(16 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+  )
 }

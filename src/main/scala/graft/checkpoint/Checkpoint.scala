@@ -1,0 +1,98 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style checkpointed stage store ("IcebergishStore", SURVEY §7.2-8).
+  *
+  * No Iceberg runtime ships in this sandbox, so the store provides the
+  * subset of semantics the north rule needs on plain Parquet: an atomic
+  * snapshot commit per stage (manifest written after data), per-partition
+  * lineage rows (partition id, row count, bytes, wall ms) and idempotent
+  * resume — a committed stage (or committed input range of a partitioned
+  * stage) is never recomputed. The trait boundary is swappable for real
+  * `spark.read.format("iceberg")` in production.
+  */
+final class CheckpointStore(spark: SparkSession, rootDir: String) {
+
+  private def stageDir(stage: String): Path = Paths.get(rootDir, s"stage=$stage")
+  private def manifestPath(stage: String): Path = stageDir(stage).resolve("_manifest.json")
+
+  def isCommitted(stage: String): Boolean = Files.exists(manifestPath(stage))
+
+  /** Write `df` as the stage snapshot + lineage manifest; returns the
+    * read-back DataFrame (so downstream reads the committed snapshot, not
+    * the recomputed plan). Overwrites any partial previous attempt —
+    * the manifest is written last, so a crash mid-write leaves the stage
+    * uncommitted and a rerun redoes it (idempotent). */
+  def commit(stage: String, df: DataFrame): DataFrame = {
+    val dir = stageDir(stage)
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").parquet(dir.toString)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val back = spark.read.parquet(dir.toString)
+    // per-file (= per committed partition) lineage rows
+    val perFile = back.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows")).collect()
+    val files = perFile.map { r =>
+      val f = r.getString(0)
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val size = try Files.size(dir.resolve(name)) catch { case _: Exception => -1L }
+      s"""{"file":${q(name)},"rows":${r.getLong(1)},"bytes":$size}"""
+    }
+    val manifest =
+      s"""{"stage":${q(stage)},"wall_ms":$wallMs,"n_files":${files.length},
+         |"total_rows":${perFile.map(_.getLong(1)).sum},
+         |"partitions":[${files.mkString(",")}]}""".stripMargin.replace("\n", "")
+    Files.writeString(manifestPath(stage), manifest)
+    back
+  }
+
+  /** Read the committed snapshot, or compute + commit it. */
+  def readOrCompute(stage: String)(compute: => DataFrame): DataFrame =
+    if (isCommitted(stage)) spark.read.parquet(stageDir(stage).toString)
+    else commit(stage, compute)
+
+  /** Partition-range processing with resume: each (lo, hi) input range is a
+    * separately committed sub-snapshot; on rerun only uncommitted ranges
+    * execute (anti-join of planned vs committed, driver-side). */
+  def runRanges(stage: String, ranges: Seq[(Long, Long)])(f: ((Long, Long)) => DataFrame): DataFrame = {
+    ranges.foreach { case (lo, hi) =>
+      val sub = s"$stage/range=$lo-$hi"
+      if (!isCommitted(sub)) commit(sub, f((lo, hi)))
+    }
+    val paths = ranges.map { case (lo, hi) => stageDir(s"$stage/range=$lo-$hi").toString }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Which ranges of a partitioned stage are already committed. */
+  def committedRanges(stage: String): Seq[(Long, Long)] = {
+    val base = Paths.get(rootDir, s"stage=$stage")
+    if (!Files.isDirectory(base)) return Nil
+    Files.list(base).iterator().asScala.toList
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("range=") =>
+        val Array(lo, hi) = s.stripPrefix("range=").split("-", 2)
+        (lo.toLong, hi.toLong)
+      }
+      .filter { case (lo, hi) => isCommitted(s"$stage/range=$lo-$hi") }
+      .sorted
+  }
+
+  /** All lineage manifests as a DataFrame (stage, wall_ms, n_files,
+    * total_rows) — the per-partition metrics surface. */
+  def lineage(): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(rootDir)
+    val rows = if (!Files.isDirectory(root)) Nil else
+      Files.walk(root).iterator().asScala.toList
+        .filter(_.getFileName.toString == "_manifest.json")
+        .map(p => Files.readString(p))
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

@@ -1,0 +1,100 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Doc, Span}
+
+/** Deterministic corpus handling: the driver-mandated interleaved
+  * text+media document table (BASELINE.json input_hint:
+  * doc_id:string, spans:array<struct<kind,text,media_ref,offset>>).
+  *
+  * Two sources, both reproducible with no RNG:
+  *  - [[fromDocumentsTable]] adapts the driver's `documents.parquet`
+  *    (doc_id, text, lang, source, n_chars) into interleaved Docs;
+  *  - [[synthesize]] generates an arbitrary-size corpus from a splitmix64
+  *    counter stream (for scale benchmarks; content embeds dictionary
+  *    terms so the extraction stage has realistic hit rates).
+  */
+object Corpus {
+
+  /** Adapt the driver test table into the interleaved Doc shape.
+    * Deterministic: one text span carrying the full text at offset 0; docs
+    * with even ids also get a trailing media span (interleaving is
+    * exercised harder by [[synthesize]] in unit tests). Pure Catalyst. */
+  def fromDocumentsTable(documents: DataFrame): Dataset[Doc] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col("doc_id").cast("string").as("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        array(
+          struct(lit("text").as("kind"), col("text").as("text"),
+            lit(null).cast("string").as("media_ref"), lit(0).as("offset")),
+          struct(lit("image").as("kind"), lit(null).cast("string").as("text"),
+            concat(lit("media://img/"), col("doc_id")).as("media_ref"), lit(1).as("offset")),
+        )
+      ).otherwise(
+        array(
+          struct(lit("text").as("kind"), col("text").as("text"),
+            lit(null).cast("string").as("media_ref"), lit(0).as("offset")))
+      ).as("spans"),
+    ).as[Doc]
+  }
+
+  /** splitmix64 — the standard public-domain mixing function. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic synthetic corpus of `nDocs` interleaved docs. Texts are
+    * drawn from `vocab` (which should include the extraction dictionary's
+    * surface forms); every doc interleaves 1-3 text spans with 0-2 media
+    * spans. Distributed via spark.range — generation is embarrassingly
+    * parallel and reproducible per doc id (no RNG, resume-safe). */
+  def synthesize(
+      spark: SparkSession,
+      nDocs: Long,
+      vocab: IndexedSeq[String],
+      seed: Long = 42L,
+      meanWords: Int = 40,
+  ): Dataset[Doc] = {
+    import spark.implicits._
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    spark.range(nDocs).map { id =>
+      val v = vocabB.value
+      var h = splitmix64(seed ^ id)
+      def nextInt(bound: Int): Int = { h = splitmix64(h); (((h >>> 33) % bound).toInt + bound) % bound }
+      val nTextSpans = 1 + nextInt(3)
+      val nMedia = nextInt(3)
+      val wordsPerSpan = math.max(3, meanWords / nTextSpans)
+      val spans = Vector.newBuilder[Span]
+      var offset = 0
+      var mediaLeft = nMedia
+      (0 until nTextSpans).foreach { si =>
+        val nw = wordsPerSpan / 2 + nextInt(math.max(1, wordsPerSpan))
+        val sb = new StringBuilder
+        (0 until nw).foreach { wi =>
+          if (wi > 0) sb.append(' ')
+          sb.append(v(nextInt(v.length)))
+        }
+        spans += Span("text", sb.toString, null, offset)
+        offset += 1
+        if (mediaLeft > 0 && si < nTextSpans - 1) {
+          val kind = if (nextInt(2) == 0) "image" else "audio"
+          spans += Span(kind, null, s"media://$kind/$id/$offset", offset)
+          offset += 1
+          mediaLeft -= 1
+        }
+      }
+      while (mediaLeft > 0) {
+        spans += Span("video", null, s"media://video/$id/$offset", offset)
+        offset += 1
+        mediaLeft -= 1
+      }
+      Doc(s"doc$id", spans.result())
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Distributed deduplication with the reference's identity semantics
+  * (reference: biocypher/_deduplicate.py:31-111):
+  *   - nodes are globally unique on `id` (across ALL labels);
+  *   - edges are unique per label on `relId`, falling back to `src_tgt`;
+  *   - rel-as-nodes are unique per relationship label on the reified node id.
+  *
+  * `dropDuplicates` compiles to a partial (map-side) + final hash aggregate,
+  * so hub-entity skew is already two-phase; for extreme skew the explicit
+  * salted variant pre-aggregates on (key, salt) before the global distinct,
+  * bounding any single reducer's key width. AQE skew handling is enabled in
+  * the session defaults (see graft.Sessions).
+  */
+object Dedup {
+
+  /** Global node dedup on id. At 100 TB this is THE big shuffle of the
+    * pipeline; keys are already pre-combined map-side. */
+  def nodes(ds: Dataset[KgNode]): Dataset[KgNode] =
+    ds.dropDuplicates("id")
+
+  /** Per-label edge dedup on coalesce(relId, src_tgt). */
+  def edges(ds: Dataset[KgEdge]): Dataset[KgEdge] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[KgEdge]
+    ds.withColumn("_k", coalesce(col("relId"), concat_ws("_", col("src"), col("tgt"))))
+      .dropDuplicates("label", "_k")
+      .drop("_k")
+      .as[KgEdge]
+  }
+
+  /** Rel-as-node dedup keyed on (node label, reified node id)
+    * (reference: _deduplicate.py:83-111). */
+  def relAsNodes(ds: Dataset[RelAsNode]): Dataset[RelAsNode] =
+    ds.dropDuplicates("node.label", "node.id")
+
+  /** Salted two-phase distinct for heavily-skewed keys: local distinct on
+    * (key, salt) shrinks the data before the global distinct on key.
+    * Equivalent result to [[nodes]]; use when a handful of hub ids dominate.
+    */
+  def nodesSalted(ds: Dataset[KgNode], saltBuckets: Int = 64): Dataset[KgNode] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[KgNode]
+    ds.withColumn("_salt", pmod(spark_partition_id(), lit(saltBuckets)))
+      .dropDuplicates("id", "_salt") // phase 1: per-salt distinct (map-side heavy)
+      .drop("_salt")
+      .dropDuplicates("id")          // phase 2: tiny global distinct
+      .as[KgNode]
+  }
+
+  /** Duplicate report — replaces the reference's in-memory duplicate sets
+    * (reference: _deduplicate.py:113-140, _core.py:559-636):
+    * (label, id, occurrences) for every entity id seen more than once. */
+  def duplicateNodeReport(ds: Dataset[KgNode]): DataFrame =
+    ds.groupBy("id")
+      .agg(count(lit(1)).as("n"), first(col("label")).as("label"))
+      .filter(col("n") > 1)
+      .select(col("label"), col("id"), col("n"))
+
+  def duplicateEdgeReport(ds: Dataset[KgEdge]): DataFrame =
+    ds.withColumn("_k", coalesce(col("relId"), concat_ws("_", col("src"), col("tgt"))))
+      .groupBy("label", "_k")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("label"), col("_k").as("id"), col("n"))
+}

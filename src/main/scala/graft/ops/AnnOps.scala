@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism strategy: embeddings are quantized to integer milli-units
+  * before any reduction, so dot products and norms are exact longs —
+  * identical regardless of summation order or engine. Cosine is computed
+  * from those exact integers at the end (single double division).
+  *
+  * Scale: [[cosineTopK]] is the brute-force baseline (one narrow pass +
+  * a top-k reduce — no shuffle of the corpus); [[lshTopK]] is the scale
+  * path: sign-bucket the space, search only the query's bucket.
+  */
+object AnnOps {
+
+  /** Quantized embedding: round(x * 1000) as long. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def normQ(a: Column): Column = dotQ(a, a)
+
+  /** Exact quantized-cosine top-k neighbors of `queryVec` (excluding
+    * `excludeId`): (vec_id, label, cosine), ordered by cosine desc then
+    * vec_id. Brute force — the correctness baseline. */
+  def cosineTopK(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long, k: Int): DataFrame = {
+    val qq = queryVec.map(x => math.round(x * 1000))
+    val qLit = array(qq.map(lit): _*)
+    val e = quantize(col("embedding"))
+    val dot = dotQ(e, qLit)
+    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
+    val cos = dot.cast("double") / (sqrt(normQ(e).cast("double")) * lit(qNorm))
+    embeddings
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"), round(cos, 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-bit LSH bucket over the first `nBits` dimensions:
+    * bucket = sum_{j<nBits} (e[j] > 0) << j. */
+  def signBucket(emb: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { j =>
+      when(element_at(emb, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket histogram: (bucket, n). */
+  def bucketHistogram(embeddings: DataFrame, nBits: Int = 8): DataFrame =
+    embeddings.select(signBucket(col("embedding"), nBits).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** LSH-accelerated top-k: restrict the brute-force search to the query's
+    * sign bucket. Recall < 1 by design; at scale the candidate set is
+    * corpus/2^nBits — the partition-pruned path. */
+  def lshTopK(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long, k: Int,
+      nBits: Int = 8): DataFrame = {
+    val qBucket = (0 until nBits).map(j => if (queryVec(j) > 0) 1L << j else 0L).sum
+    cosineTopK(embeddings.filter(signBucket(col("embedding"), nBits) === qBucket),
+      queryVec, excludeId, k)
+  }
+
+  /** All-pairs exact duplicate embeddings (quantized-equal vectors). */
+  def exactVectorDups(embeddings: DataFrame): DataFrame =
+    embeddings.groupBy(md5(to_json(quantize(col("embedding")))).as("vh"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("keep_id"))
+      .filter(col("n") > 1)
+}

@@ -1,0 +1,122 @@
+package graft.sinks
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.KgContext
+import graft.model._
+
+/** In-memory KG materialization (reference: output/in_memory/_pandas.py
+  * 7-95, _networkx.py:29-44): one DataFrame per label with property columns
+  * pivoted out of the property bag, typed per the schema declaration.
+  *
+  * The "networkx" analogue is the (nodesDF, edgesDF) pair — a GraphFrames-
+  * style representation without the dependency.
+  */
+object Tables {
+
+  /** Pivot a node Dataset into per-label DataFrames with one column per
+    * declared (or first-row) property. */
+  def nodeFrames(ctx: KgContext, nodes: Dataset[KgNode]): ListMap[String, DataFrame] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labels = nodes.select("label").distinct().as[String].collect().sorted
+    ListMap(labels.map { label =>
+      val sub = nodes.filter(col("label") === label)
+      val keys: Seq[(String, String)] = ctx.spec(label).map(_.properties.toSeq).filter(_.nonEmpty)
+        .getOrElse {
+          sub.select(col("props")).as[Seq[Prop]].head() // first row defines layout
+            .map(p => p.k -> p.v.t)
+        }
+      val base = sub.select(
+        col("id").as("node_id"),
+        col("label").as("node_label"),
+        map_from_entries(transform(col("props"),
+          p => struct(p.getField("k"), coalesce(p.getField("v").getField("s"),
+            array_join(p.getField("v").getField("arr"), "|"))))).as("_p"),
+      )
+      val withProps = keys.foldLeft(base) { case (df, (k, t)) =>
+        val raw = element_at(col("_p"), k)
+        val typed = t match {
+          case "int" | "long" | "integer"             => raw.cast("long")
+          case "float" | "double" | "dbl"             => raw.cast("double")
+          case "bool" | "boolean"                     => lower(raw).cast("boolean")
+          case _                                      => raw
+        }
+        df.withColumn(k, typed)
+      }
+      label -> withProps.drop("_p")
+    }: _*)
+  }
+
+  def edgeFrames(ctx: KgContext, edges: Dataset[KgEdge]): ListMap[String, DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labels = edges.select("label").distinct().as[String].collect().sorted
+    ListMap(labels.map { label =>
+      val sub = edges.filter(col("label") === label)
+      label -> sub.select(
+        col("relId").as("relationship_id"),
+        col("src").as("source_id"),
+        col("tgt").as("target_id"),
+        col("label").as("relationship_label"),
+      )
+    }: _*)
+  }
+
+  /** Per-label entity counts + schema presence — the schema-info reflection
+    * job (reference: _core.py:673-753). */
+  def schemaInfo(ctx: KgContext, nodes: Dataset[KgNode], edges: Dataset[KgEdge]): DataFrame = {
+    val n = nodes.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("node"))
+    val e = edges.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("edge"))
+    n.unionByName(e)
+      .withColumn("present_in_knowledge_graph", lit(true))
+      .withColumn("is_relationship", col("kind") === "edge")
+  }
+}
+
+/** N-Triples-style RDF serialization (reference: output/write/graph/
+  * _rdf.py:90-172, 253-320): line-oriented `map` + text write; node type
+  * triples + property literals; edges as reified statements.
+  */
+object RdfNTriples {
+
+  private def iri(base: String, v: String): String =
+    "<" + base + java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20") + ">"
+  private def lit(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  val Base = "https://graft.example.org/"
+  val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  def nodeTriples(ctx: KgContext, nodes: Dataset[KgNode]): Dataset[String] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ctx)
+    nodes.flatMap { n =>
+      val cls = graft.model.Naming.nameSentenceToPascal(n.label)
+      val subj = iri(Base, n.id)
+      val typeT = s"$subj $RdfType ${iri(Base + "class/", cls)} ."
+      val propTs = n.props.filterNot(p => PV.isNone(p.v)).map { p =>
+        val obj = if (p.v.t == "list") lit(p.v.arr.mkString("|")) else lit(p.v.s)
+        s"$subj ${iri(Base + "prop/", p.k)} $obj ."
+      }
+      typeT +: propTs
+    }
+  }
+
+  def edgeTriples(ctx: KgContext, edges: Dataset[KgEdge]): Dataset[String] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.map { e =>
+      s"${iri(Base, e.src)} ${iri(Base + "pred/", graft.model.Naming.nameSentenceToPascal(e.label))} ${iri(Base, e.tgt)} ."
+    }
+  }
+
+  def write(ctx: KgContext, nodes: Dataset[KgNode], edges: Dataset[KgEdge], outDir: String): Unit = {
+    nodeTriples(ctx, nodes).write.mode("overwrite").text(outDir + "/nodes.nt")
+    edgeTriples(ctx, edges).write.mode("overwrite").text(outDir + "/edges.nt")
+  }
+}
