@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.{AnalyticsDomain, Corpus}
+
+/** One KG-pipeline benchmark run in a fresh JVM: args = (cores, nDocs).
+  * Prints a single JSON line {"cores":..,"docs":..,"sec":..,"triples":..}
+  * and halts (bypassing SparkSession.stop(), which can hang on Netty
+  * transport close in rapid session cycling — each parallelism level gets
+  * its own process instead, which is also the honest analogue of separate
+  * spark-submit cluster runs).
+  */
+object BenchPipeline {
+
+  def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full KG-construction run over `nDocs` synthetic docs. */
+  def pipelineRun(spark: SparkSession, nDocs: Long): (Double, Long) = {
+    val docs = Corpus.synthesize(spark, nDocs, AnalyticsDomain.vocab)
+    val pipe = KgPipeline.analytics(spark)
+    val t0 = System.nanoTime()
+    val ms = pipe.mentions(docs)
+    import org.apache.spark.storage.StorageLevel
+    ms.persist(StorageLevel.MEMORY_AND_DISK)
+    val ns = pipe.nodes(ms)
+    val es = pipe.mentionEdges(ms).union(pipe.cooccurrenceEdges(ms))
+    val n = pipe.triples(ns, es).count()
+    ms.unpersist(blocking = false)
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nDocs = args(1).toLong
+    val spark = newSession(cores)
+    pipelineRun(spark, 2000) // warm codegen/JIT
+    val (sec, triples) = pipelineRun(spark, nDocs)
+    println(f"""{"cores":$cores,"docs":$nDocs,"sec":$sec%.2f,"triples":$triples}""")
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
+  }
+}

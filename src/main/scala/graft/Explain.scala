@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: print formatted physical plans for the hot queries so scan
+  * pruning (`ReadSchema`/`PushedFilters`), join strategies (broadcast vs
+  * shuffle) and WholeStageCodegen spans can be inspected and kept tight.
+  * Usage: sbt "runMain graft.Explain [queryName ...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q2_join", "kg_mentions", "kg_triples", "dedup_minhash_lsh", "ann_cosine_topk")
+    names.foreach { name =>
+      println(s"\n===================== $name =====================")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None     => println(s"unknown query $name")
+      }
+    }
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
+  }
+}

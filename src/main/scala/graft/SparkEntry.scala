@@ -119,6 +119,47 @@ object SparkEntry {
         .map(k => (k, ctx.labelsCell(k))).toDF("cls", "labels")
     }),
 
+    "kg_dup_report" -> ((s, dir) => {
+      // duplicate canonical ids across docs (reference duplicate report
+      // semantics, _core.py:559-636): one raw node per (doc, entity)
+      val pipe = KgPipeline.analytics(s)
+      import s.implicits._
+      val raw = pipe.mentions(kgDocs(s, dir))
+        .filter(col("cls") =!= "media")
+        .select(col("doc_id"), col("curie"), col("cls")).distinct()
+        .as[(String, String, String)]
+        .map { case (_, curie, cls) => graft.model.RawNode(curie, cls, graft.model.Props.empty) }
+      val translated = graft.translate.Translate.nodes(raw, pipe.bcCtx)
+      graft.dedup.Dedup.duplicateNodeReport(translated)
+    }),
+    "kg_query_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val ctx = AnalyticsDomain.context()
+      Seq(
+        "MATCH (n:relational operator) RETURN n",
+        "MATCH ()-[r:mentions]-() RETURN r",
+        "MATCH (d:document)-[r:cooccurs]->(x) RETURN d",
+      ).map(q => (q, ctx.translateQuery(q))).toDF("query", "translated")
+    }),
+    "kg_node_frame" -> ((s, dir) => {
+      // in-memory KG materialization (reference in_memory/_pandas.py):
+      // pivoted per-label frame for one class
+      val pipe = KgPipeline.analytics(s)
+      val ns = pipe.nodes(pipe.mentions(kgDocs(s, dir)))
+      graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
+        .select(col("node_id"), col("node_label"), col("name"))
+    }),
+    "dedup_lsh_candidates" -> ((s, dir) =>
+      DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 4)),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      AnnOps.lshTopK(emb, q, excludeId = 0L, k = 5, nBits = 8)
+    }),
+    "mm_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(MultimodalOps.mediaSpans(kgDocs(s, dir)))),
+
     // -- training-data ops: text analysis --
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScores(tbl(s, dir, "documents"))),
@@ -259,6 +300,79 @@ object SparkEntry {
         |  ('storage structure', '''StorageStructure|Artifact|Entity'''),
         |  ('workload', '''Workload|Operation|Entity''')
         |) AS t(cls, labels)""".stripMargin,
+
+    "kg_dup_report" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie, t.cls
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
+         |SELECT cls AS label, curie AS id, count(*) AS n
+         |FROM m GROUP BY cls, curie HAVING count(*) > 1""".stripMargin,
+    "kg_query_rewrite" ->
+      """SELECT * FROM (VALUES
+        |  ('MATCH (n:relational operator) RETURN n',
+        |   'MATCH (n:RelationalOperator) RETURN n'),
+        |  ('MATCH ()-[r:mentions]-() RETURN r',
+        |   'MATCH ()-[r:MENTIONS]-() RETURN r'),
+        |  ('MATCH (d:document)-[r:cooccurs]->(x) RETURN d',
+        |   'MATCH (d:Document)-[r:COOCCURS_WITH]->(x) RETURN d')
+        |) AS t(query, translated)""".stripMargin,
+    "kg_node_frame" ->
+      s"""$dictCte
+         |SELECT DISTINCT t.curie AS node_id, t.cls AS node_label, t.term AS name
+         |FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |WHERE t.cls = 'relational operator'""".stripMargin,
+    "dedup_lsh_candidates" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
+        |              ELSE array_to_string(t, ' ') END AS shingle
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-1, 1))) AS i) s),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,14))::BIGINT % 1000000007 AS hv FROM sh),
+        |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
+        |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
+        |        GROUP BY doc_id, j),
+        |bk AS (SELECT doc_id, j // 4 AS band,
+        |         array_to_string(list(sg ORDER BY j), '_') AS bucket
+        |       FROM sig GROUP BY doc_id, j // 4)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH qb AS (SELECT
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |   + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |   + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS qbucket,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, label,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |   + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |   + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ee
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(ee, qe) /
+        |    (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+        |FROM e, qb WHERE e.bucket = qb.qbucket
+        |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "mm_features" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | 'media://img/'||doc_id AS media_ref,
+        | [('0x'||substr(md5('media://img/'||doc_id),1,4))::BIGINT,
+        |  ('0x'||substr(md5('media://img/'||doc_id),5,4))::BIGINT,
+        |  ('0x'||substr(md5('media://img/'||doc_id),9,4))::BIGINT,
+        |  ('0x'||substr(md5('media://img/'||doc_id),13,4))::BIGINT] AS features
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,300 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, first}
+import graft.KgContext
+import graft.model._
+import graft.model.Props.Props
+
+/** Per-label property layout for rendering + headers. */
+final case class LabelLayout(
+    label: String,             // internal (sentence-case or edge) label
+    fileLabel: String,         // file-name label (PascalCase)
+    propKeys: Vector[String],  // ordered reference property keys
+    propTypes: Vector[String], // declared or runtime type string per key
+    labelsCell: String,        // node-only: rendered :LABEL cell
+    skipId: Boolean,           // edge-only: omit id column
+)
+
+/** Abstract bulk-import batch sink — the Spark-native realization of the
+  * reference's `_BatchWriter` (reference: output/write/_batch_writer.py)
+  * with the same five format hooks its writer subclasses override
+  * (`_batch_writer.py:21-104`): quote, array string, headers, import call,
+  * script name.
+  *
+  * Shared machinery: rows are rendered to final CSV lines by a typed map
+  * (pipelined with the upstream dedup exchange, no extra shuffle) and
+  * written with `partitionBy(fileLabel)` so per-label grouping, batching
+  * (`maxRecordsPerFile` = the reference's `batch_size`) and part numbering
+  * are handled by the distributed commit protocol; a cheap driver-side pass
+  * renames committed files into the `{Label}-partNNN.csv` grammar.
+  */
+abstract class BatchSink(val ctx: KgContext, val outDir: String) extends Serializable {
+
+  import BatchSink._
+
+  protected def delim: String = ctx.config.delimiter
+  protected def conf = ctx.config
+
+  // ------------------------------------------------------------- the hooks
+
+  /** Quote a single string for an array cell (reference: `_quote_string`). */
+  def quoteString(value: String): String
+
+  /** Array cell representation (reference: `_write_array_string`). */
+  def arrayString(items: Seq[String]): String
+
+  def importScriptName: String
+  def constructImportCall(): String
+  def writeHeaders(): Unit
+
+  /** File-name label; Neo4j additionally sanitizes (parse_label). */
+  def fileLabel(label: String): String =
+    Naming.nameSentenceToPascal(label)
+
+  // ---------------------------------------------------------------- layout
+
+  var nodeLayouts: ListMap[String, LabelLayout] = ListMap.empty
+  var edgeLayouts: ListMap[String, LabelLayout] = ListMap.empty
+
+  /** Ancestor multi-label cell (reference: _batch_writer.py:477-514). */
+  def labelsCell(cls: String): String =
+    ctx.ancestors.get(cls).filter(_.nonEmpty) match {
+      case Some(anc) => arrayString(anc)
+      case None      => Naming.nameSentenceToPascal(cls)
+    }
+
+  /** Reference property dict per label: schema-declared when available,
+    * else the first encountered entity's properties with runtime type names
+    * (reference: _batch_writer.py:440-475 nodes, :706-750 edges). */
+  def nodeLayout(label: String, firstProps: Props): LabelLayout = {
+    val declared = ctx.spec(label).map(_.properties).getOrElse(ListMap.empty)
+    val (keys, types) =
+      if (declared.nonEmpty) {
+        var d = declared.toVector
+        d :+= ("id" -> "str")
+        d :+= ("preferred_id" -> "str")
+        if (conf.strictMode) d ++= Vector("source" -> "str", "version" -> "str", "licence" -> "str")
+        (d.map(_._1), d.map(_._2))
+      } else {
+        (firstProps.map(_.k).toVector, firstProps.map(p => runtimeType(p.v)).toVector)
+      }
+    LabelLayout(label, fileLabel(label), keys, types, labelsCell(label), skipId = false)
+  }
+
+  def edgeLayout(label: String, firstProps: Props): LabelLayout = {
+    val schemaClass = ctx.schemaClassForEdgeLabel(label)
+    val declared = schemaClass.flatMap(ctx.spec).map(_.properties).getOrElse(ListMap.empty)
+    val (keys, types) =
+      if (declared.nonEmpty) {
+        var d = declared.toVector
+        if (conf.strictMode) d ++= Vector("source" -> "str", "version" -> "str", "licence" -> "str")
+        (d.map(_._1), d.map(_._2))
+      } else {
+        (firstProps.map(_.k).toVector, firstProps.map(p => runtimeType(p.v)).toVector)
+      }
+    val skip = BuiltinRelLabels.contains(label) ||
+      schemaClass.flatMap(ctx.spec).exists(!_.useId)
+    LabelLayout(label, fileLabel(label), keys, types, labelsCell = null, skipId = skip)
+  }
+
+  // -------------------------------------------------------------- renderer
+
+  /** One CSV cell (reference: _batch_writer.py:621-649): None -> empty;
+    * declared numeric/bool -> bare python-str; list -> array string hook;
+    * else quote-wrapped (NO escaping — reference behavior). */
+  def renderCell(p: PV, declaredType: String): String = {
+    if (PV.isNone(p)) ""
+    else if (NumericBoolTypes.contains(declaredType)) p.s
+    else if (p.t == "list") arrayString(p.arr)
+    else conf.quote + p.s + conf.quote
+  }
+
+  def renderNodeLine(n: KgNode, lay: LabelLayout): String = {
+    checkConsistent(n.props, lay, s"node ${n.id}", n.label)
+    val sb = new StringBuilder(n.id)
+    if (lay.propKeys.nonEmpty) {
+      val byKey = n.props.map(p => p.k -> p.v).toMap
+      var i = 0
+      while (i < lay.propKeys.length) {
+        sb ++= delim
+        sb ++= renderCell(byKey.getOrElse(lay.propKeys(i), PV.None_), lay.propTypes(i))
+        i += 1
+      }
+    }
+    sb ++= delim
+    sb ++= lay.labelsCell
+    sb.toString
+  }
+
+  def renderEdgeLine(e: KgEdge, lay: LabelLayout): String = {
+    checkConsistent(e.props, lay, s"edge ${e.src}-${e.tgt}", e.label)
+    val byKey = e.props.map(p => p.k -> p.v).toMap
+    val parts = Vector.newBuilder[String]
+    parts += e.src
+    if (!lay.skipId) parts += Option(e.relId).getOrElse("")
+    lay.propKeys.zip(lay.propTypes).foreach { case (k, t) =>
+      parts += renderCell(byKey.getOrElse(k, PV.None_), t)
+    }
+    parts += e.tgt
+    parts += Naming.nameSentenceToPascal(e.label)
+    parts.result().mkString(delim)
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  def writeNodes(ds: Dataset[KgNode]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val firsts: Map[String, Props] =
+      ds.groupBy(col("label")).agg(first(col("props")).as("props"))
+        .as[(String, Seq[Prop])].collect().map { case (l, p) => l -> p.toVector }.toMap
+    val layouts = firsts.map { case (l, p) => l -> nodeLayout(l, p) }
+    nodeLayouts = nodeLayouts ++ ListMap(layouts.toSeq.sortBy(_._1): _*)
+
+    val bc = spark.sparkContext.broadcast(layouts)
+    val self = this
+    val rendered = ds.map { n =>
+      val lay = bc.value(n.label)
+      (lay.fileLabel, self.renderNodeLine(n, lay))
+    }.toDF("label", "value")
+    writePartitioned(spark, rendered, outDir, conf.batchSize)
+  }
+
+  def writeEdges(ds: Dataset[KgEdge]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val valid = ds.filter(e => e.src != null && e.src.nonEmpty && e.tgt != null && e.tgt.nonEmpty)
+    val firsts: Map[String, Props] =
+      valid.groupBy(col("label")).agg(first(col("props")).as("props"))
+        .as[(String, Seq[Prop])].collect().map { case (l, p) => l -> p.toVector }.toMap
+    val layouts = firsts.map { case (l, p) => l -> edgeLayout(l, p) }
+    edgeLayouts = edgeLayouts ++ ListMap(layouts.toSeq.sortBy(_._1): _*)
+
+    val bc = spark.sparkContext.broadcast(layouts)
+    val self = this
+    val rendered = valid.map { e =>
+      val lay = bc.value(e.label)
+      (lay.fileLabel, self.renderEdgeLine(e, lay))
+    }.toDF("label", "value")
+    writePartitioned(spark, rendered, outDir, conf.batchSize)
+  }
+
+  /** Nodes first (referential integrity; reference writes RelAsNode nodes
+    * before edges, _batch_writer.py:363-369), then both connector edges. */
+  def writeRelAsNodes(ds: Dataset[RelAsNode]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    writeNodes(ds.map(_.node))
+    writeEdges(ds.flatMap(r => Seq(r.sourceEdge, r.targetEdge)))
+  }
+
+  def writeImportCall(): String = {
+    val p = Paths.get(outDir, importScriptName)
+    writeDriverFile(p, constructImportCall())
+    p.toString
+  }
+
+  /** Part files of a label, sorted (for import-call assembly). */
+  def partsOf(fileLabel: String): Seq[String] = {
+    val out = Paths.get(outDir)
+    if (!Files.isDirectory(out)) return Nil
+    val re = (java.util.regex.Pattern.quote(fileLabel) + "-part\\d+\\.csv").r
+    Files.list(out).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => re.pattern.matcher(n).matches()).toSeq.sorted
+  }
+
+  protected def filePrefix: String = conf.importCallFilePrefix.getOrElse(outDir)
+  protected def joinPath(a: String, b: String): String =
+    if (a.isEmpty) b else if (a.endsWith("/")) a + b else a + "/" + b
+}
+
+object BatchSink {
+
+  val BuiltinRelLabels = Set("IS_SOURCE_OF", "IS_TARGET_OF", "IS_PART_OF")
+
+  val NumericBoolTypes: Set[String] =
+    Set("int", "integer", "long", "float", "double", "dbl", "bool", "boolean")
+
+  /** Runtime type name of a PV (the reference uses type(v).__name__). */
+  def runtimeType(v: PV): String = if (v == null) "none" else v.t match {
+    case "int" => "int"; case "float" => "float"; case "bool" => "bool"
+    case "list" => "list"; case "none" => "none"; case _ => "str"
+  }
+
+  /** partitionBy write + rename into the `{Label}-partNNN.csv` grammar,
+    * continuing any existing numbering (reference: _batch_writer.py:925-975). */
+  def writePartitioned(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      outDir: String, batchSize: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft-sink-").toString
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", batchSize)
+      .partitionBy("label")
+      .text(tmp)
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    val tmpPath = Paths.get(tmp)
+    Files.list(tmpPath).iterator().asScala.toList
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("label="))
+      .foreach { dir =>
+        val label = unescapePartitionValue(dir.getFileName.toString.stripPrefix("label="))
+        var next = nextPartNumber(out, label)
+        Files.list(dir).iterator().asScala.toList
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .foreach { f =>
+            val target = out.resolve(f"$label-part$next%03d.csv")
+            Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+            next += 1
+          }
+      }
+    deleteRecursively(tmpPath)
+  }
+
+  private def nextPartNumber(out: Path, label: String): Int = {
+    if (!Files.isDirectory(out)) return 0
+    val re = (java.util.regex.Pattern.quote(label) + "-part(\\d+)\\.csv").r
+    Files.list(out).iterator().asScala.map(_.getFileName.toString).collect {
+      case re(n) => n.toInt
+    }.maxOption.map(_ + 1).getOrElse(0)
+  }
+
+  private def unescapePartitionValue(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  def writeDriverFile(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** Property-set consistency check (reference: _batch_writer.py:598-619). */
+  def checkConsistent(props: Props, lay: LabelLayout, what: String, label: String): Unit = {
+    val keys = props.map(_.k).toSet
+    val ref = lay.propKeys.toSet
+    if (keys != ref)
+      throw new IllegalStateException(
+        s"At least one $what of the class $label has more or fewer properties than another. " +
+          s"Reference properties: ${lay.propKeys.mkString(",")}, entity properties: ${keys.mkString(",")}.")
+  }
+
+  /** Neo4j header type suffix (reference: graph/_neo4j.py:105-125). */
+  def headerTypeSuffix(t: String): String = t match {
+    case "int" | "long" | "integer"       => ":long"
+    case "int[]" | "long[]" | "integer[]" => ":long[]"
+    case "float" | "double" | "dbl"       => ":double"
+    case "float[]" | "double[]"           => ":double[]"
+    case "bool" | "boolean"               => ":boolean"
+    case "bool[]" | "boolean[]"           => ":boolean[]"
+    case "str[]" | "string[]"             => ":string[]"
+    case _                                => ""
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.{KgEdge, KgNode}
+
+/** Structured Streaming facets of the engine.
+  *
+  * The reference has no streaming runtime — its "streaming" is generator
+  * laziness plus a session-lifetime dedup seen-set
+  * (reference: biocypher/_deduplicate.py:21-28; duplicates are dropped
+  * across successive write_nodes calls, test_pandas.py:36-40). In Spark
+  * that cross-batch state maps exactly onto `mapGroupsWithState`: the state
+  * store IS the seen-set, checkpointed and resumable.
+  */
+object Streaming {
+
+  /** Cross-micro-batch node dedup: emit a node the first time its id is
+    * seen, drop it forever after (first-wins, like the reference). */
+  def dedupNodesStream(nodes: Dataset[KgNode]): Dataset[KgNode] = {
+    import nodes.sparkSession.implicits._
+    nodes.groupByKey(_.id)
+      .flatMapGroupsWithState[Boolean, KgNode](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[KgNode], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+          else Iterator.empty
+      }
+  }
+
+  /** Per-type cross-batch edge dedup on relId / src_tgt. */
+  def dedupEdgesStream(edges: Dataset[KgEdge]): Dataset[KgEdge] = {
+    import edges.sparkSession.implicits._
+    edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
+      .flatMapGroupsWithState[Boolean, KgEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, String), rows: Iterator[KgEdge], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+          else Iterator.empty
+      }
+  }
+
+  /** Tumbling-window event aggregation with a watermark for late data —
+    * the streaming form of SparkEntry's q5 (same semantics in batch). */
+  def windowedEventAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
+}
