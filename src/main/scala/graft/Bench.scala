@@ -19,10 +19,24 @@ object Bench {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments
-    val cp = System.getProperty("java.class.path")
+    // prefer the stable classes-dir + distribution-jars classpath over
+    // sbt's bg-jobs copy (measurably slower in the child JVM)
+    val classesDir = new java.io.File("target/scala-2.13/classes")
+    val sparkJars = new java.io.File("/opt/spark/jars")
+    val cp =
+      if (classesDir.isDirectory && sparkJars.isDirectory)
+        (classesDir.getAbsolutePath +: sparkJars.listFiles().toSeq
+          .filter(_.getName.endsWith(".jar")).map(_.getAbsolutePath)).mkString(":")
+      else System.getProperty("java.class.path")
     import scala.jdk.CollectionConverters._
-    val cmd = Seq(javaBin) ++ jvmArgs.asScala.filterNot(_.startsWith("-agentlib")) ++
-      Seq("-cp", cp, mainClass) ++ args
+    // fixed pre-touched heap: G1 heap grow/uncommit page-zeroing serializes
+    // in the kernel under 32 allocating threads on this host (measured 98%
+    // sys time, 6-18x slowdown); -Xms=-Xmx + AlwaysPreTouch eliminates it
+    val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "16g")
+    val cmd = Seq(javaBin) ++
+      jvmArgs.asScala.filterNot(a => a.startsWith("-agentlib") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
+      Seq(s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch", "-cp", cp, mainClass) ++ args
     val out = new StringBuilder
     val code = Process(cmd).!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
     require(code == 0, s"subprocess $mainClass ${args.mkString(" ")} failed: $code")
@@ -38,9 +52,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
 
-    // 1) headline per-query timings at the requested parallelism
+    // 1) identical pipeline at N and 4N cores, fresh JVM each, run FIRST on
+    // an otherwise-idle machine (the query session below would interfere)
+    val runN = runSubprocess("graft.BenchPipeline", Seq("8", benchDocs.toString))
+    val run4N = runSubprocess("graft.BenchPipeline", Seq("32", benchDocs.toString))
+    val secN = field(runN, "sec"); val triplesN = field(runN, "triples")
+    val sec4N = field(run4N, "sec"); val triples4N = field(run4N, "triples")
+
+    // 2) headline per-query timings at the requested parallelism
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -57,11 +78,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // 2) identical pipeline at N and 4N cores, fresh JVM each
-    val runN = runSubprocess("graft.BenchPipeline", Seq("8", benchDocs.toString))
-    val run4N = runSubprocess("graft.BenchPipeline", Seq("32", benchDocs.toString))
-    val secN = field(runN, "sec"); val triplesN = field(runN, "triples")
-    val sec4N = field(run4N, "sec"); val triples4N = field(run4N, "triples")
     val thrN = triplesN / secN
     val thr4N = triples4N / sec4N
     val eff = thr4N / (4.0 * thrN)

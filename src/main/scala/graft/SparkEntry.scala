@@ -74,13 +74,11 @@ object SparkEntry {
     // -- KG construction pipeline (mention detect -> translate -> dedup) --
     "kg_mentions" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
-      pipe.mentions(kgDocs(s, dir))
-        .filter(col("cls") =!= "media")
-        .select(col("doc_id"), col("curie")).distinct()
+      pipe.docMentions(kgDocs(s, dir)).select(col("doc_id"), col("curie"))
     }),
     "kg_nodes" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
-      pipe.nodes(pipe.mentions(kgDocs(s, dir)))
+      pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
     }),
     "kg_triples" -> ((s, dir) => {
@@ -90,26 +88,24 @@ object SparkEntry {
     }),
     "kg_cooccurrence" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
-      import graft.extract.Mentions
-      Mentions.cooccurrence(pipe.mentions(kgDocs(s, dir)))
-        .select(col("src"), col("tgt"), col("n_docs"))
+      graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
     }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
-      val ms = pipe.mentions(kgDocs(s, dir))
-      val ns = pipe.nodes(ms)
-      val es = pipe.mentionEdges(ms).union(pipe.cooccurrenceEdges(ms))
+      val dm = pipe.docMentions(kgDocs(s, dir))
+      val ns = pipe.nodes(dm)
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdges(kgDocs(s, dir)))
       graft.sinks.Tables.schemaInfo(pipe.bcCtx.value, ns, es)
         .select(col("label"), col("kind"), col("n"))
     }),
     "kg_headers" -> ((s, dir) => {
       import s.implicits._
       val pipe = KgPipeline.analytics(s)
-      val ms = pipe.mentions(kgDocs(s, dir))
+      val dm = pipe.docMentions(kgDocs(s, dir))
       val tmp = java.nio.file.Files.createTempDirectory("graft-hdr-").toString
       val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value, tmp)
-      sink.writeNodes(pipe.nodes(ms))
-      sink.writeEdges(pipe.mentionEdges(ms).union(pipe.cooccurrenceEdges(ms)))
+      sink.writeNodes(pipe.nodes(dm))
+      sink.writeEdges(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdges(kgDocs(s, dir))))
       sink.headerRows().toDF("label", "header")
     }),
     "kg_label_hierarchy" -> ((s, dir) => {
@@ -124,9 +120,8 @@ object SparkEntry {
       // semantics, _core.py:559-636): one raw node per (doc, entity)
       val pipe = KgPipeline.analytics(s)
       import s.implicits._
-      val raw = pipe.mentions(kgDocs(s, dir))
-        .filter(col("cls") =!= "media")
-        .select(col("doc_id"), col("curie"), col("cls")).distinct()
+      val raw = pipe.docMentions(kgDocs(s, dir))
+        .select(col("doc_id"), col("curie"), col("cls"))
         .as[(String, String, String)]
         .map { case (_, curie, cls) => graft.model.RawNode(curie, cls, graft.model.Props.empty) }
       val translated = graft.translate.Translate.nodes(raw, pipe.bcCtx)
@@ -145,12 +140,12 @@ object SparkEntry {
       // in-memory KG materialization (reference in_memory/_pandas.py):
       // pivoted per-label frame for one class
       val pipe = KgPipeline.analytics(s)
-      val ns = pipe.nodes(pipe.mentions(kgDocs(s, dir)))
+      val ns = pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
       graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
         .select(col("node_id"), col("node_label"), col("name"))
     }),
     "dedup_lsh_candidates" -> ((s, dir) =>
-      DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 4)),
+      DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8)),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -288,7 +283,7 @@ object SparkEntry {
         |  ('StorageStructure', ':ID;name;id;preferred_id;:LABEL'),
         |  ('Workload', ':ID;name;id;preferred_id;:LABEL'),
         |  ('COOCCURS_WITH', ':START_ID;id;n_docs:long;:END_ID;:TYPE'),
-        |  ('MENTIONS', ':START_ID;id;:END_ID;:TYPE')
+        |  ('MENTIONS', ':START_ID;id;n:long;:END_ID;:TYPE')
         |) AS t(label, header)""".stripMargin,
     "kg_label_hierarchy" ->
       """SELECT * FROM (VALUES
@@ -331,9 +326,9 @@ object SparkEntry {
         |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
         |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
         |        GROUP BY doc_id, j),
-        |bk AS (SELECT doc_id, j // 4 AS band,
+        |bk AS (SELECT doc_id, j // 8 AS band,
         |         array_to_string(list(sg ORDER BY j), '_') AS bucket
-        |       FROM sig GROUP BY doc_id, j // 4)
+        |       FROM sig GROUP BY doc_id, j // 8)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bk x JOIN bk y
         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,

@@ -34,8 +34,14 @@ object Dedup {
 
   /** Rel-as-node dedup keyed on (node label, reified node id)
     * (reference: _deduplicate.py:83-111). */
-  def relAsNodes(ds: Dataset[RelAsNode]): Dataset[RelAsNode] =
-    ds.dropDuplicates("node.label", "node.id")
+  def relAsNodes(ds: Dataset[RelAsNode]): Dataset[RelAsNode] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[RelAsNode]
+    ds.withColumn("_lbl", col("node.label"))
+      .withColumn("_id", col("node.id"))
+      .dropDuplicates("_lbl", "_id")
+      .drop("_lbl", "_id")
+      .as[RelAsNode]
+  }
 
   /** Salted two-phase distinct for heavily-skewed keys: local distinct on
     * (key, salt) shrinks the data before the global distinct on key.

@@ -39,7 +39,11 @@ object DedupOps {
   /** Candidate near-duplicate pairs by n-gram Jaccard >= minJ:
     * (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b. */
   def jaccardPairs(documents: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val sh = shingles(documents, n).cache()
+    // join on the 56-bit shingle hash: long equi-join beats string compare,
+    // and the md5-derived hash is what the oracle uses anyway
+    val sh = shingles(documents, n)
+      .select(col("doc_id"), tokenHash(col("shingle")).as("shingle"))
+      .cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))

@@ -23,7 +23,10 @@ object Tables {
     val labels = nodes.select("label").distinct().as[String].collect().sorted
     ListMap(labels.map { label =>
       val sub = nodes.filter(col("label") === label)
+      // declared props + the injected id/preferred_id (reference frames
+      // carry them: json_normalize of the full property dict)
       val keys: Seq[(String, String)] = ctx.spec(label).map(_.properties.toSeq).filter(_.nonEmpty)
+        .map(_ ++ Seq("id" -> "str", "preferred_id" -> "str"))
         .getOrElse {
           sub.select(col("props")).as[Seq[Prop]].head() // first row defines layout
             .map(p => p.k -> p.v.t)

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.model.Props.Props
+
+/** Mirrors the reference's core entry-point behaviors:
+  * cross-call dedup (test/output/in_memory/test_pandas.py:36-40),
+  * in-memory frames, import-call round trip. */
+class KgSessionSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def session(dbms: String = "neo4j") = new KgSession(
+    spark, SparkTestBase.ctx, Files.createTempDirectory("graft-sess-").toString, dbms)
+
+  def protein(id: String): RawNode =
+    RawNode(id, "protein", Props.of(
+      "name" -> PV.str("x"), "score" -> PV.dbl(1.0),
+      "taxon" -> PV.int(9606), "genes" -> PV.arr(Seq("g"))))
+
+  test("duplicates are dropped across successive add calls (first wins)") {
+    val s = session()
+    s.addNodes(spark.createDataset(Seq(protein("p1"), protein("p2"))))
+    s.addNodes(spark.createDataset(Seq(protein("p2"), protein("p3"))))
+    val frames = s.toDf()
+    assert(frames("protein").count() == 3)
+  }
+
+  test("toDf pivots declared properties into typed columns") {
+    val s = session()
+    s.addNodes(spark.createDataset(Seq(protein("p1"))))
+    val df = s.toDf()("protein")
+    assert(df.columns.toSet ==
+      Set("node_id", "node_label", "name", "score", "taxon", "genes", "id", "preferred_id"))
+    val row = df.head()
+    assert(row.getAs[String]("node_id") == "p1")
+    assert(row.getAs[Long]("taxon") == 9606L)
+    assert(row.getAs[Double]("score") == 1.0)
+  }
+
+  test("write path: nodes -> parts + headers + import call") {
+    val s = session()
+    s.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p1"), protein("p2"))))
+    val path = s.writeImportCall()
+    val script = Files.readString(java.nio.file.Path.of(path))
+    assert(script.contains("neo4j-admin"))
+    val parts = Files.list(java.nio.file.Path.of(s.outDir)).iterator()
+    var found = false
+    while (parts.hasNext) { if (parts.next().getFileName.toString.startsWith("Protein-part")) found = true }
+    assert(found)
+  }
+
+  test("rel-as-node edges write nodes before connector edges") {
+    val s = session()
+    val raw = spark.createDataset(Seq(
+      RawEdge(null, "a", "b", "post_translational",
+        Props.of("directed" -> PV.bool(true)))))
+    s.writeEdges(raw)
+    val files = Files.list(java.nio.file.Path.of(s.outDir)).iterator()
+    val names = scala.collection.mutable.Set[String]()
+    while (files.hasNext) names += files.next().getFileName.toString
+    assert(names.exists(_.startsWith("PostTranslationalInteraction-part")))
+    assert(names.exists(_.startsWith("IS_SOURCE_OF-part")))
+    assert(names.exists(_.startsWith("IS_TARGET_OF-part")))
+  }
+
+  test("cross-call dedup also applies to the write path") {
+    val s = session()
+    s.writeNodes(spark.createDataset(Seq(protein("p1"))))
+    s.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p2"))))
+    // p1 written once: part000 has 1 row, part001 has only p2
+    val all = Files.list(java.nio.file.Path.of(s.outDir)).iterator()
+    var rows = List.empty[String]
+    while (all.hasNext) {
+      val p = all.next()
+      if (p.getFileName.toString.startsWith("Protein-part"))
+        rows ++= Files.readAllLines(p).toArray(Array.empty[String]).toList
+    }
+    assert(rows.count(_.startsWith("p1;")) == 1)
+    assert(rows.count(_.startsWith("p2;")) == 1)
+  }
+
+  test("schema info yaml marks present classes") {
+    val s = session()
+    val ns = spark.createDataset(Seq(
+      KgNode.make("p1", "protein", "uniprot", Props.empty)))
+    val es = spark.emptyDataset[KgEdge]
+    val yaml = s.schemaInfoYaml(ns, es)
+    assert(yaml.contains("protein:\n  represented_as: node\n  present_in_knowledge_graph: True"))
+    assert(yaml.contains("microRNA:\n  represented_as: node\n  present_in_knowledge_graph: False"))
+  }
+}
