@@ -49,15 +49,20 @@ final class KgPipeline(
     * distincts run on thin string columns; fat property rows are built
     * only for the (small) distinct survivors. */
   def nodes(dm: Dataset[DocMention]): Dataset[KgNode] = {
-    val entityRaw = dm.select(col("curie"), col("cls"), col("surface")).distinct()
+    val entityThin = dm.select(col("curie"), col("cls"), col("surface")).distinct()
+    val entityRaw = entityThin
       .as[(String, String, String)]
       .map { case (curie, cls, surface) =>
         RawNode(curie, cls, Props.of("name" -> PV.str(surface)))
       }
+    // global cross-label id dedup (reference semantics): both branches are
+    // already distinct, so only the cross-branch overlap needs removing —
+    // a thin broadcast anti-join (entity ids are few), NOT a fat-row
+    // dropDuplicates, which would sort-aggregate O(docs) property rows
     val docRaw = dm.select(col("doc_id")).distinct()
+      .join(broadcast(entityThin.select(col("curie").as("doc_id"))), Seq("doc_id"), "left_anti")
       .as[String].map(id => RawNode(id, "document", Props.empty))
-    // global cross-label id dedup on the (small) union — reference semantics
-    Dedup.nodes(Translate.nodes(entityRaw.union(docRaw), bcCtx))
+    Translate.nodes(entityRaw.union(docRaw), bcCtx)
   }
 
   /** One property bag column `[(k, (s, arr, t))]` built in Catalyst. */
