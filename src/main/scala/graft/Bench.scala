@@ -32,7 +32,7 @@ object Bench {
     // fixed pre-touched heap: G1 heap grow/uncommit page-zeroing serializes
     // in the kernel under 32 allocating threads on this host (measured 98%
     // sys time, 6-18x slowdown); -Xms=-Xmx + AlwaysPreTouch eliminates it
-    val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "16g")
+    val heap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "20g")
     val cmd = Seq(javaBin) ++
       jvmArgs.asScala.filterNot(a => a.startsWith("-agentlib") ||
         a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
@@ -52,7 +52,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000000").toLong
 
     // 1) identical pipeline at N and 4N cores, fresh JVM each, run FIRST on
     // an otherwise-idle machine (the query session below would interfere)
