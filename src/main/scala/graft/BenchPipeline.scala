@@ -36,7 +36,9 @@ object BenchPipeline {
     import org.apache.spark.storage.StorageLevel
     dm.persist(StorageLevel.MEMORY_AND_DISK)
     val ns = pipe.nodes(dm)
-    val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdges(docs))
+    // cooc pairs derive from the persisted mention table — the corpus is
+    // synthesized and trie-matched ONCE per run (was twice: 2nd full pass)
+    val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
     val n = pipe.triples(ns, es).count()
     dm.unpersist(blocking = false)
     ((System.nanoTime() - t0) / 1e9, n)

@@ -49,7 +49,13 @@ final class KgPipeline(
     * distincts run on thin string columns; fat property rows are built
     * only for the (small) distinct survivors. */
   def nodes(dm: Dataset[DocMention]): Dataset[KgNode] = {
-    val entityThin = dm.select(col("curie"), col("cls"), col("surface")).distinct()
+    // ONE node per curie even when several surface aliases link to the same
+    // entity (reference global id uniqueness, _deduplicate.py:44-51):
+    // min(struct) keeps a deterministic (cls, surface) pair, and groupBy on
+    // the thin rows gets map-side partial aggregation in one shuffle.
+    val entityThin = dm.groupBy(col("curie"))
+      .agg(min(struct(col("cls"), col("surface"))).as("cs"))
+      .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
     val entityRaw = entityThin
       .as[(String, String, String)]
       .map { case (curie, cls, surface) =>
@@ -96,8 +102,18 @@ final class KgPipeline(
   /** COOCCURS_WITH edges between entities sharing a doc (a < b), with doc
     * counts. Pairs are emitted doc-locally in the extraction pass (narrow),
     * so the only exchange is the final tiny aggregate — no self-join. */
-  def cooccurrenceEdges(docs: Dataset[Doc]): Dataset[KgEdge] = {
-    val cooc = Mentions.cooccurrencePairs(docs, bcDict)
+  def cooccurrenceEdges(docs: Dataset[Doc]): Dataset[KgEdge] =
+    coocToEdges(Mentions.cooccurrencePairs(docs, bcDict))
+
+  /** Co-occurrence edges derived from the (persisted) DocMention table —
+    * no second corpus scan / trie pass; see
+    * [[Mentions.cooccurrencePairsFromDocMentions]] for the contiguity
+    * contract. This is the path [[run]] uses: one extraction pass feeds
+    * nodes, mention edges AND co-occurrence pairs. */
+  def cooccurrenceEdgesFrom(dm: Dataset[DocMention]): Dataset[KgEdge] =
+    coocToEdges(Mentions.cooccurrencePairsFromDocMentions(dm))
+
+  private def coocToEdges(cooc: DataFrame): Dataset[KgEdge] = {
     val cls = ctxRef.inputLabelToClass("cooccurs")
     val label = ctxRef.specs(cls).labelAsEdge.getOrElse(cls)
     cooc.select(
@@ -128,11 +144,14 @@ final class KgPipeline(
     typeTriples.union(edgeTriples)
   }
 
-  /** Full run: (nodes, mention+cooc edges, triples), lazily defined. */
+  /** Full run: (nodes, mention+cooc edges, triples). The extraction output
+    * is persisted and feeds every downstream consumer — the corpus is
+    * scanned (and the trie run) exactly ONCE per run. */
   def run(docs: Dataset[Doc]): (Dataset[KgNode], Dataset[KgEdge], Dataset[Triple]) = {
     val dm = docMentions(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns = nodes(dm)
-    val es = mentionEdges(dm).union(cooccurrenceEdges(docs))
+    val es = mentionEdges(dm).union(cooccurrenceEdgesFrom(dm))
     (ns, es, triples(ns, es))
   }
 }

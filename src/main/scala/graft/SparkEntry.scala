@@ -93,8 +93,9 @@ object SparkEntry {
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       val dm = pipe.docMentions(kgDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ns = pipe.nodes(dm)
-      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdges(kgDocs(s, dir)))
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
       graft.sinks.Tables.schemaInfo(pipe.bcCtx.value, ns, es)
         .select(col("label"), col("kind"), col("n"))
     }),
@@ -102,10 +103,11 @@ object SparkEntry {
       import s.implicits._
       val pipe = KgPipeline.analytics(s)
       val dm = pipe.docMentions(kgDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tmp = java.nio.file.Files.createTempDirectory("graft-hdr-").toString
       val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value, tmp)
       sink.writeNodes(pipe.nodes(dm))
-      sink.writeEdges(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdges(kgDocs(s, dir))))
+      sink.writeEdges(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)))
       sink.headerRows().toDF("label", "header")
     }),
     "kg_label_hierarchy" -> ((s, dir) => {
@@ -152,8 +154,13 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       AnnOps.lshTopK(emb, q, excludeId = 0L, k = 5, nBits = 8)
     }),
-    "mm_features" -> ((s, dir) =>
-      MultimodalOps.extractFeatures(MultimodalOps.mediaSpans(kgDocs(s, dir)))),
+    "mm_features" -> ((s, dir) => {
+      // scalar f0..f3 (not an array column): the driver's pandas comparator
+      // cannot sort list columns, so the gate needs flat columns
+      val f = MultimodalOps.extractFeatures(MultimodalOps.mediaSpans(kgDocs(s, dir)))
+      f.select(col("doc_id") +: col("media_ref") +:
+        (0 until 4).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+    }),
 
     // -- training-data ops: text analysis --
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
@@ -209,7 +216,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q2_join" ->
       """SELECT n_name, count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -224,7 +231,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        | sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "kg_mentions" ->
@@ -328,10 +335,13 @@ object SparkEntry {
         |        GROUP BY doc_id, j),
         |bk AS (SELECT doc_id, j // 8 AS band,
         |         array_to_string(list(sg ORDER BY j), '_') AS bucket
-        |       FROM sig GROUP BY doc_id, j // 8)
+        |       FROM sig GROUP BY doc_id, j // 8),
+        |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
+        |       HAVING count(*) BETWEEN 2 AND 64)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bk x JOIN bk y
-        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |JOIN ok ON x.band = ok.band AND x.bucket = ok.bucket""".stripMargin,
     "ann_lsh_topk" ->
       """WITH qb AS (SELECT
         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
@@ -363,10 +373,10 @@ object SparkEntry {
     "mm_features" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
         | 'media://img/'||doc_id AS media_ref,
-        | [('0x'||substr(md5('media://img/'||doc_id),1,4))::BIGINT,
-        |  ('0x'||substr(md5('media://img/'||doc_id),5,4))::BIGINT,
-        |  ('0x'||substr(md5('media://img/'||doc_id),9,4))::BIGINT,
-        |  ('0x'||substr(md5('media://img/'||doc_id),13,4))::BIGINT] AS features
+        | ('0x'||substr(md5('media://img/'||doc_id),1,4))::BIGINT AS f0,
+        | ('0x'||substr(md5('media://img/'||doc_id),5,4))::BIGINT AS f1,
+        | ('0x'||substr(md5('media://img/'||doc_id),9,4))::BIGINT AS f2,
+        | ('0x'||substr(md5('media://img/'||doc_id),13,4))::BIGINT AS f3
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     "text_tokens" ->
@@ -389,7 +399,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id,
-         | SUM((($tokHash % 1000000007) * pos) % 1000000007) % 1000000007 AS fingerprint
+         | CAST(SUM((($tokHash % 1000000007) * pos) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
          |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w,
          |        generate_subscripts(string_split(text,' '), 1) AS pos
          |      FROM documents)
@@ -420,9 +430,10 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS shingle
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS shingle
         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
         |       WHERE len(t) >= 2),
+        |sh AS (SELECT doc_id, shingle FROM sh0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -452,7 +463,7 @@ object SparkEntry {
          |         FROM h, (SELECT unnest(generate_series(0,15)) AS b) bs
          |         GROUP BY doc_id, b)
          |SELECT doc_id,
-         |  SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |  CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->

@@ -179,6 +179,45 @@ object Mentions {
     pairs.groupBy(col("src"), col("tgt")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Co-occurring entity pairs derived from an UNSHUFFLED DocMention
+    * dataset (straight from [[detectPerDoc]], possibly persisted): rows of
+    * one doc are contiguous within a partition by construction, so per-doc
+    * entity sets rebuild in a narrow pass — no second corpus scan, no
+    * re-running the trie, no shuffle before the final tiny aggregate.
+    *
+    * Contract: `dm` must come from [[detectPerDoc]] without an intervening
+    * shuffle (the doc-run contiguity invariant). Within a doc the curies
+    * are already distinct; lexicographic sort reproduces the a < b pair
+    * order of [[cooccurrencePairs]] exactly. */
+  def cooccurrencePairsFromDocMentions(dm: Dataset[DocMention]): DataFrame = {
+    val spark = dm.sparkSession
+    import spark.implicits._
+    val pairs = dm.mapPartitions { it =>
+      val base = it.buffered
+      new Iterator[(String, String)] {
+        private var out: Iterator[(String, String)] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && base.hasNext) {
+            val docId = base.head.doc_id
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (base.hasNext && base.head.doc_id == docId) buf += base.next().curie
+            if (buf.length >= 2) {
+              val arr = buf.toArray
+              java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+              out = for {
+                a <- arr.indices.iterator
+                b <- ((a + 1) until arr.length).iterator
+              } yield (arr(a), arr(b))
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): (String, String) = { advance(); out.next() }
+      }
+    }.toDF("src", "tgt")
+    pairs.groupBy(col("src"), col("tgt")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Entity nodes from text mentions: canonical id = CURIE; the surface and
     * detection stats become properties downstream of dedup. */
   def toRawNodes(mentions: Dataset[Mention]): Dataset[RawNode] = {

@@ -27,14 +27,18 @@ object AnnOps {
 
   /** Exact quantized-cosine top-k neighbors of `queryVec` (excluding
     * `excludeId`): (vec_id, label, cosine), ordered by cosine desc then
-    * vec_id. Brute force — the correctness baseline. */
+    * vec_id. Brute force — the correctness baseline. The per-row cosine is
+    * a single codegen'd Catalyst expression ([[graft.functions.QuantizedCosine]]):
+    * one primitive loop per row inside WholeStageCodegen, no interpreted
+    * HOFs on the hot path; the top-k is TakeOrderedAndProject (no global
+    * sort materialization). */
   def cosineTopK(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long, k: Int): DataFrame = {
     val qq = queryVec.map(x => math.round(x * 1000))
-    val qLit = array(qq.map(lit): _*)
-    val e = quantize(col("embedding"))
-    val dot = dotQ(e, qLit)
     val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
-    val cos = dot.cast("double") / (sqrt(normQ(e).cast("double")) * lit(qNorm))
+    val cos = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.QuantizedCosine(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        qq.toArray, qNorm))
     embeddings
       .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"), col("label"), round(cos, 6).as("cosine"))

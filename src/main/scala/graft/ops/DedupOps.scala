@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: exact dedup is one hash aggregate on the content hash.
   * Jaccard is shingle-join bounded (quadratic only within a shingle
-  * bucket); MinHash+LSH replaces it at scale — candidates come from
-  * band-bucket equality (a groupBy, not a cross join), so cost is
-  * O(docs x bands) shuffle, independent of pair count.
+  * bucket, and stop-shingles above a document-frequency cap are dropped
+  * before the join); MinHash+LSH replaces it at scale — candidates come
+  * from band-bucket grouping (one shuffle, no self-join), with a
+  * bucket-size cap so a viral near-dup cluster of m docs cannot emit
+  * m²/2 pairs.
   */
 object DedupOps {
 
@@ -25,25 +27,43 @@ object DedupOps {
     documents.groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). The token
+    * array is bound in its own projection first: higher-order lambdas are
+    * interpreted, so an inline `split(text)` inside the lambda body would
+    * re-split the whole text once per shingle (O(tokens²) per doc). */
   def shingles(documents: DataFrame, n: Int): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     val sh = when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "),
       ))).otherwise(array().cast("array<string>"))
-    documents.select(col("doc_id"), explode(sh).as("shingle"))
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
   }
 
   /** Candidate near-duplicate pairs by n-gram Jaccard >= minJ:
-    * (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b. */
-  def jaccardPairs(documents: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    * (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b.
+    *
+    * Shingles with document frequency > `maxDf` are stop-shingles: they
+    * are excluded everywhere (from the per-doc counts AND the join), so
+    * the self-join fan-out per shingle is bounded by maxDf — without the
+    * cap one corpus-common bigram joins quadratically at 100x scale. The
+    * hot-shingle table is tiny by construction (≤ rows/maxDf entries), so
+    * the anti-join broadcasts (AQE). */
+  def jaccardPairs(documents: DataFrame, n: Int = 3, minJ: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
     // join on the 56-bit shingle hash: long equi-join beats string compare,
-    // and the md5-derived hash is what the oracle uses anyway
-    val sh = shingles(documents, n)
+    // and the md5-derived hash is what the oracle uses anyway. Cache the
+    // hashed shingle table ONCE (it feeds the df aggregate, the per-doc
+    // counts, and both self-join sides); the anti-join itself is a cheap
+    // broadcast-hash over the cached rows.
+    val allSh = shingles(documents, n)
       .select(col("doc_id"), tokenHash(col("shingle")).as("shingle"))
       .cache()
+    val hot = allSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("shingle")
+    val sh = allSh.join(hot, Seq("shingle"), "left_anti")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -59,23 +79,38 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signature columns sig0..sig{k-1} over word n-gram shingles.
-    * Hash family: h_j(x) = ((2j+1) * (x mod M) + 12345j + 7) mod M over the
-    * 56-bit md5 token hash. Computed with higher-order array functions —
-    * one narrow pass, no explode, no shuffle. */
-  def minhashSignatures(documents: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Per-document shingle-hash array — materialized ONCE in its own
+    * projection so every downstream signature column reads the bound
+    * column instead of re-running md5 over every shingle (higher-order
+    * functions are interpreted and get no common-subexpression
+    * elimination; CollapseProject keeps this boundary because the
+    * producer expression is non-cheap and consumed k times). */
+  private def shingleHashes(documents: DataFrame, n: Int): DataFrame = {
+    val toks = col("toks")
     val shingleArr = when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "),
       ))).otherwise(array(col("text")))  // short docs: whole text as shingle
-    val hashes = transform(shingleArr, s => pmod(tokenHash(s), lit(Mod)))
-    val sigCols = (0 until k).map { j =>
-      val a = 2L * j + 1; val b = 12345L * j + 7
-      array_min(transform(hashes, h => pmod(h * a + b, lit(Mod)))).as(s"sig$j")
-    }
-    documents.select((col("doc_id") +: sigCols): _*)
+    documents.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(shingleArr, s => pmod(tokenHash(s), lit(Mod))).as("hv"))
+  }
+
+  /** MinHash signature columns sig0..sig{k-1} over word n-gram shingles.
+    * Hash family: h_j(x) = ((2j+1) * (x mod M) + 12345j + 7) mod M over the
+    * 56-bit md5 token hash. One narrow pass, no explode, no shuffle: the
+    * md5 hash array is computed once per row ([[shingleHashes]]) and all k
+    * minima come from ONE fused codegen'd loop
+    * ([[graft.functions.AffineMinHash]] — replaces k interpreted
+    * `array_min(transform(...))` scans). */
+  def minhashSignatures(documents: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sigs = column(graft.functions.AffineMinHash(expression(col("hv")), k, Mod))
+    shingleHashes(documents, n)
+      .select(col("doc_id"), sigs.as("sigs"))
+      .select(col("doc_id") +:
+        (0 until k).map(j => element_at(col("sigs"), j + 1).as(s"sig$j")): _*)
   }
 
   /** LSH band buckets: k signatures split into bands of r; bucket key =
@@ -91,26 +126,41 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate pairs from LSH buckets (doc_a < doc_b, distinct). */
-  def lshCandidates(documents: DataFrame, n: Int = 3, k: Int = 16, r: Int = 4): DataFrame = {
-    val b = lshBuckets(documents, n, k, r)
-    b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  /** Candidate pairs from LSH buckets (doc_a < doc_b, distinct).
+    *
+    * Shape: ONE shuffle (groupBy band+bucket) followed by doc-local pair
+    * emission from the sorted member list — no self-join, so the signature
+    * plan is evaluated exactly once per document. Buckets larger than
+    * `maxBucket` are skipped entirely (a near-dup cluster of m docs would
+    * otherwise emit m²/2 pairs; at web scale one viral page cluster can be
+    * millions of docs — the cap bounds pair emission at maxBucket²/2 per
+    * bucket, and the skipped buckets remain observable via [[lshBuckets]]). */
+  def lshCandidates(documents: DataFrame, n: Int = 3, k: Int = 16, r: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val grouped = lshBuckets(documents, n, k, r)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // ordered pairs from the sorted member list: ids[i] x ids[i+1..]
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
   /** 16-bit SimHash over token hashes: bit b set iff the sum over tokens of
-    * (+1 if bit b of hash(token) else -1) is positive. */
+    * (+1 if bit b of hash(token) else -1) is positive. The token-hash array
+    * is bound once (same CollapseProject boundary as [[shingleHashes]]). */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
-    val toks = tokens(col("text"))
-    val hashes = transform(array_distinct(toks), t => tokenHash(t))
+    val hashed = documents.select(col("doc_id"),
+      transform(array_distinct(tokens(col("text"))), t => tokenHash(t)).as("hv"))
     val bitSum = (b: Int) =>
-      aggregate(hashes, lit(0L),
+      aggregate(col("hv"), lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
     val sim = (0 until bits).map(b =>
       when(bitSum(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    documents.select(col("doc_id"), sim.as("simhash"))
+    hashed.select(col("doc_id"), sim.as("simhash"))
   }
 }
