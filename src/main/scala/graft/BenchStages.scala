@@ -26,10 +26,11 @@ object BenchStages {
     t("nodes")(println("  n=" + ns.count()))
     val me = pipe.mentionEdges(ms).persist(StorageLevel.MEMORY_AND_DISK)
     t("mention_edges")(println("  n=" + me.count()))
-    val ce = pipe.cooccurrenceEdges(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val ce = pipe.cooccurrenceEdgesFrom(ms).persist(StorageLevel.MEMORY_AND_DISK)
     t("cooc_edges")(println("  n=" + ce.count()))
     val tr = pipe.triples(ns, me.union(ce))
     t("triples")(println("  n=" + tr.count()))
+    t("full_rerun")(println("  n=" + BenchPipeline.pipelineRun(spark, nDocs)))
     Runtime.getRuntime.halt(0)
   }
 }

@@ -64,8 +64,10 @@ final class KgPipeline(
     // global cross-label id dedup (reference semantics): both branches are
     // already distinct, so only the cross-branch overlap needs removing —
     // a thin broadcast anti-join (entity ids are few), NOT a fat-row
-    // dropDuplicates, which would sort-aggregate O(docs) property rows
-    val docRaw = dm.select(col("doc_id")).distinct()
+    // dropDuplicates. Doc ids come run-distinct from the extraction pass
+    // (contiguity invariant) — zero shuffle instead of a corpus-sized
+    // distinct exchange.
+    val docRaw = Mentions.distinctDocIds(dm).toDF("doc_id")
       .join(broadcast(entityThin.select(col("curie").as("doc_id"))), Seq("doc_id"), "left_anti")
       .as[String].map(id => RawNode(id, "document", Props.empty))
     Translate.nodes(entityRaw.union(docRaw), bcCtx)

@@ -218,6 +218,22 @@ object Mentions {
     pairs.groupBy(col("src"), col("tgt")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Distinct doc ids from an UNSHUFFLED DocMention dataset (same
+    * contiguity contract as [[cooccurrencePairsFromDocMentions]]): each doc
+    * is one contiguous run in exactly one partition, so emitting one id per
+    * run IS the global distinct — no 10⁶-key shuffle. */
+  def distinctDocIds(dm: Dataset[DocMention]): Dataset[String] = {
+    val spark = dm.sparkSession
+    import spark.implicits._
+    dm.mapPartitions { it =>
+      var last: String = null
+      it.flatMap { m =>
+        if (m.doc_id == last) Iterator.empty
+        else { last = m.doc_id; Iterator.single(m.doc_id) }
+      }
+    }
+  }
+
   /** Entity nodes from text mentions: canonical id = CURIE; the surface and
     * detection stats become properties downstream of dedup. */
   def toRawNodes(mentions: Dataset[Mention]): Dataset[RawNode] = {

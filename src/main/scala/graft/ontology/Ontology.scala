@@ -140,11 +140,14 @@ final class OntologySource(
         g.addEdge(s, o)
       case _ =>
     }
-    // multiple inheritance via owl:intersectionOf linked lists
+    // multiple inheritance via owl:intersectionOf linked lists; child =
+    // last subClassOf subject, falling back to equivalentClass (Snomed CT
+    // post-coordinated expressions) — reference _ontology.py:144-166
     ttl.triples.foreach {
       case (bnode, IntersectionOf, listId) =>
         val parents = ttl.collections.getOrElse(listId, Nil)
-        val child = (ttl.subjects(SubClassOf, bnode) ++ ttl.subjects(EquivalentClass, bnode)).lastOption
+        val child = ttl.subjects(SubClassOf, bnode).lastOption
+          .orElse(ttl.subjects(EquivalentClass, bnode).lastOption)
         child.foreach { c => parents.foreach(p => g.addEdge(c, p)) }
         if (g.hasNode(bnode)) g.removeNode(bnode)
       case _ =>
@@ -302,6 +305,23 @@ object Ontology {
     val head = new OntologySource(TurtleLite.parse(headTtl), rootLabel)
     val tailSources = tails.map { case (ttl, tailJoin, headJoin, merge) =>
       new OntologySource(TurtleLite.parse(ttl), tailJoin, Some(headJoin), merge)
+    }
+    new Ontology(head, extendedSchema, tailSources)
+  }
+
+  /** Format-sniffing variant: accepts Turtle or RDF/XML (OWL) source text
+    * for head and tails — the entry point matching the reference's
+    * rdflib-based loader, which real Biolink/GO/SO/Mondo users hit with
+    * .owl files (reference: _ontology.py:94-106). */
+  def fromText(
+      headText: String,
+      rootLabel: String,
+      extendedSchema: SchemaExpander.Schema = scala.collection.immutable.ListMap.empty,
+      tails: List[(String, String, String, Boolean)] = Nil, // (text, tailJoin(root), headJoin, merge)
+  ): Ontology = {
+    val head = new OntologySource(RdfXmlLite.parseAuto(headText), rootLabel)
+    val tailSources = tails.map { case (text, tailJoin, headJoin, merge) =>
+      new OntologySource(RdfXmlLite.parseAuto(text), tailJoin, Some(headJoin), merge)
     }
     new Ontology(head, extendedSchema, tailSources)
   }

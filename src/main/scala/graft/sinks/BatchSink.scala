@@ -226,10 +226,10 @@ object BatchSink {
     case "list" => "list"; case "none" => "none"; case _ => "str"
   }
 
-  /** partitionBy write + rename into the `{Label}-partNNN.csv` grammar,
+  /** partitionBy write + rename into the `{Label}-partNNN.{ext}` grammar,
     * continuing any existing numbering (reference: _batch_writer.py:925-975). */
   def writePartitioned(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      outDir: String, batchSize: Long): Unit = {
+      outDir: String, batchSize: Long, extension: String = "csv"): Unit = {
     val tmp = Files.createTempDirectory("graft-sink-").toString
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", batchSize)
@@ -242,12 +242,12 @@ object BatchSink {
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("label="))
       .foreach { dir =>
         val label = unescapePartitionValue(dir.getFileName.toString.stripPrefix("label="))
-        var next = nextPartNumber(out, label)
+        var next = nextPartNumber(out, label, extension)
         Files.list(dir).iterator().asScala.toList
           .filter(p => p.getFileName.toString.startsWith("part-"))
           .sortBy(_.getFileName.toString)
           .foreach { f =>
-            val target = out.resolve(f"$label-part$next%03d.csv")
+            val target = out.resolve(f"$label-part$next%03d.$extension")
             Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
             next += 1
           }
@@ -255,9 +255,10 @@ object BatchSink {
     deleteRecursively(tmpPath)
   }
 
-  private def nextPartNumber(out: Path, label: String): Int = {
+  private def nextPartNumber(out: Path, label: String, extension: String = "csv"): Int = {
     if (!Files.isDirectory(out)) return 0
-    val re = (java.util.regex.Pattern.quote(label) + "-part(\\d+)\\.csv").r
+    val re = (java.util.regex.Pattern.quote(label) + "-part(\\d+)\\." +
+      java.util.regex.Pattern.quote(extension)).r
     Files.list(out).iterator().asScala.map(_.getFileName.toString).collect {
       case re(n) => n.toInt
     }.maxOption.map(_ + 1).getOrElse(0)

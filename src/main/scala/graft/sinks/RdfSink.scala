@@ -1,0 +1,229 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.KgContext
+import graft.model._
+
+/** RDF vocabulary + the reference's URI-resolution rules
+  * (reference: output/write/graph/_rdf.py:439-534).
+  *
+  * `subjectToUri`: a CURIE `pref:id` resolves through the configured
+  * namespaces; unknown prefixes and non-CURIE ids land in the biocypher
+  * namespace verbatim. `propertyToUri`: property names that are terms of
+  * the core vocabularies (RDF/RDFS/OWL, then SKOS/DC/DCTERMS) resolve
+  * there; `licence` aliases `license`; everything else is biocypher-
+  * namespaced. The reference checks rdflib's closed namespaces — the term
+  * sets here are the curated equivalents of the members those namespaces
+  * actually define.
+  */
+object RdfVocab extends Serializable {
+  val Rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val Rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+  val Owl = "http://www.w3.org/2002/07/owl#"
+  val Skos = "http://www.w3.org/2004/02/skos/core#"
+  val Dc = "http://purl.org/dc/elements/1.1/"
+  val Dcterms = "http://purl.org/dc/terms/"
+  val Biocypher = "https://biocypher.org/biocypher#"
+
+  val RdfType: String = Rdf + "type"
+  val RdfsClass: String = Rdfs + "Class"
+
+  private val rdfTerms = Set("type", "value", "subject", "predicate", "object",
+    "first", "rest", "nil", "langString", "HTML", "XMLLiteral", "List",
+    "Property", "Statement")
+  private val rdfsTerms = Set("label", "comment", "seeAlso", "isDefinedBy",
+    "domain", "range", "subClassOf", "subPropertyOf", "member", "Class",
+    "Resource", "Literal", "Datatype", "Container")
+  private val owlTerms = Set("sameAs", "differentFrom", "equivalentClass",
+    "equivalentProperty", "inverseOf", "versionInfo", "deprecated",
+    "imports", "unionOf", "intersectionOf", "complementOf", "oneOf")
+  private val skosTerms = Set("prefLabel", "altLabel", "hiddenLabel",
+    "definition", "broader", "narrower", "related", "note", "notation",
+    "example", "inScheme", "exactMatch", "closeMatch")
+  private val dcTerms = Set("title", "description", "creator", "contributor",
+    "date", "format", "identifier", "language", "publisher", "relation",
+    "rights", "source", "subject", "type", "coverage")
+  private val dctermsTerms = Set("license", "abstract", "created", "modified",
+    "issued", "hasPart", "isPartOf", "references", "bibliographicCitation")
+
+  def propertyToUri(name: String): String =
+    if (rdfTerms.contains(name)) Rdf + name
+    else if (rdfsTerms.contains(name)) Rdfs + name
+    else if (owlTerms.contains(name)) Owl + name
+    else if (skosTerms.contains(name)) Skos + name
+    else if (dcTerms.contains(name)) Dc + name
+    else if (dctermsTerms.contains(name)) Dcterms + name
+    else if (name == "licence") propertyToUri("license")
+    else Biocypher + name
+
+  def subjectToUri(namespaces: Map[String, String])(subject: String): String =
+    subject.split(":", -1) match {
+      case Array(pref, id) if namespaces.contains(pref) => namespaces(pref) + id
+      case _ => Biocypher + subject
+    }
+}
+
+/** Distributed RDF batch writer with reference parity
+  * (reference: output/write/graph/_rdf.py):
+  *  - one `{LabelPascal}-partNNN.{ext}` file series per label (the
+  *    reference's per-label-per-batch files), written via the same
+  *    partitionBy machinery as the CSV sinks;
+  *  - node statements: `(biocypher:Class, rdf:type, rdfs:Class)`,
+  *    `(uri(id), rdf:type, biocypher:Class)`, plus one literal triple per
+  *    non-empty property (list properties explode to one triple per item —
+  *    `_rdf.py:174-238`);
+  *  - REIFIED edge statements (`_rdf.py:90-172`): each edge becomes a
+  *    predicate node `biocypher:<relId | src+tgt>` typed by the PascalCase
+  *    edge class, linked with `biocypher:subject` / `biocypher:object`,
+  *    carrying the edge properties;
+  *  - CURIE→URI resolution through configured namespaces ([[RdfVocab]]).
+  *
+  * `format`: "nt" (canonical N-Triples; the scale-safe choice) or "ttl"
+  * (same triples with pname compaction + an @prefix header prepended to
+  * each committed part file — a driver-side per-file pass bounded by the
+  * batch size).
+  */
+final class RdfSink(
+    val ctx: KgContext,
+    val outDir: String,
+    val format: String = "nt",
+    userNamespaces: Map[String, String] = Map.empty,
+) extends Serializable {
+
+  require(format == "nt" || format == "ttl", s"unsupported RDF format $format")
+
+  val namespaces: Map[String, String] =
+    userNamespaces ++ Map("biocypher" -> RdfVocab.Biocypher)
+
+  private def uri(s: String): String = RdfVocab.subjectToUri(namespaces)(s)
+
+  // ------------------------------------------------------- term rendering
+
+  private val prefixOrder: Seq[(String, String)] =
+    (namespaces ++ Map("rdf" -> RdfVocab.Rdf, "rdfs" -> RdfVocab.Rdfs,
+      "owl" -> RdfVocab.Owl, "skos" -> RdfVocab.Skos, "dc" -> RdfVocab.Dc,
+      "dcterms" -> RdfVocab.Dcterms)).toSeq.sortBy(-_._2.length)
+
+  private def pnameLocalOk(local: String): Boolean =
+    local.nonEmpty && local.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      !local.endsWith(".")
+
+  /** Render an IRI: N-Triples always absolute; Turtle compacts to a pname
+    * when a bound prefix matches and the local part is pname-safe. */
+  private def term(iriStr: String): String =
+    if (format == "nt") "<" + iriStr + ">"
+    else prefixOrder.collectFirst {
+      case (p, ns) if iriStr.startsWith(ns) && pnameLocalOk(iriStr.stripPrefix(ns)) =>
+        s"$p:${iriStr.stripPrefix(ns)}"
+    }.getOrElse("<" + iriStr + ">")
+
+  private def literal(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") + "\""
+
+  def prefixHeader: String =
+    prefixOrder.sortBy(_._1).map { case (p, ns) => s"@prefix $p: <$ns> ." }
+      .mkString("", "\n", "\n")
+
+  // ------------------------------------------------------ triple renderers
+
+  /** The per-class declaration statement `(biocypher:Class, rdf:type,
+    * rdfs:Class)`. The reference adds it per entity into an rdflib Graph
+    * (set semantics dedup it); the line-oriented distributed writer emits
+    * it once per label instead — same graph, no per-row duplication. */
+  def classLine(label: String): String = {
+    val clsUri = RdfVocab.Biocypher + Naming.nameSentenceToPascal(label)
+    s"${term(clsUri)} ${term(RdfVocab.RdfType)} ${term(RdfVocab.RdfsClass)} ."
+  }
+
+  /** Statement lines for one node (reference `_rdf.py:276-313`). */
+  def nodeLines(n: KgNode): Seq[String] = {
+    val clsUri = RdfVocab.Biocypher + Naming.nameSentenceToPascal(n.label)
+    val subj = uri(n.id)
+    s"${term(subj)} ${term(RdfVocab.RdfType)} ${term(clsUri)} ." +: propLines(subj, n.props)
+  }
+
+  /** Statement lines for one edge, reified (reference `_rdf.py:127-165`). */
+  def edgeLines(e: KgEdge): Seq[String] = {
+    val edgeClsUri = RdfVocab.Biocypher + Naming.nameSentenceToPascal(e.label)
+    val predId = Option(e.relId).getOrElse(e.src + e.tgt)
+    val predUri = RdfVocab.Biocypher + predId
+    Seq(
+      s"${term(predUri)} ${term(RdfVocab.RdfType)} ${term(edgeClsUri)} .",
+      s"${term(predUri)} ${term(RdfVocab.Biocypher + "subject")} ${term(uri(e.src))} .",
+      s"${term(predUri)} ${term(RdfVocab.Biocypher + "object")} ${term(uri(e.tgt))} .",
+    ) ++ propLines(uri(predId), e.props)
+  }
+
+  /** One literal triple per non-empty property value; list values and
+    * "[a, b]"-shaped strings explode to one triple per item
+    * (reference `add_property_to_graph`, `_rdf.py:174-238`). */
+  private def propLines(subj: String, props: Props.Props): Seq[String] = {
+    def items(v: PV): Seq[String] =
+      if (v.t == "list") v.arr
+      else if (v.s != null && v.s.startsWith("[") && v.s.endsWith("]"))
+        v.s.stripPrefix("[").stripSuffix("]").replace("'", "").split(", ", -1).toSeq
+      else Seq(v.s)
+    props.filterNot(p => PV.isNone(p.v) || (p.v.t != "list" && (p.v.s == null || p.v.s.isEmpty)))
+      .flatMap { p =>
+        val pred = term(RdfVocab.propertyToUri(p.k))
+        items(p.v).map(it => s"${term(subj)} $pred ${literal(it)} .")
+      }
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  private def ext: String = format
+
+  private def writeLabeled(rendered: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = rendered.sparkSession
+    BatchSink.writePartitioned(spark, rendered, outDir, ctx.config.batchSize,
+      extension = ext)
+    if (format == "ttl") prependHeaders()
+  }
+
+  def writeNodes(ds: Dataset[KgNode]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val self = this
+    val body = ds.flatMap { n =>
+      val fl = Naming.nameSentenceToPascal(n.label)
+      self.nodeLines(n).map(l => (fl, l))
+    }
+    val decls = ds.select(col("label")).distinct().as[String]
+      .map(l => (Naming.nameSentenceToPascal(l), self.classLine(l)))
+    writeLabeled(decls.union(body).toDF("label", "value"))
+  }
+
+  def writeEdges(ds: Dataset[KgEdge]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val self = this
+    val body = ds.flatMap { e =>
+      val fl = Naming.nameSentenceToPascal(e.label)
+      self.edgeLines(e).map(l => (fl, l))
+    }
+    val decls = ds.select(col("label")).distinct().as[String]
+      .map(l => (Naming.nameSentenceToPascal(l), self.classLine(l)))
+    writeLabeled(decls.union(body).toDF("label", "value"))
+  }
+
+  /** Turtle part files need their @prefix block; the distributed commit
+    * wrote bare statements, so prepend per committed file (bounded by
+    * batchSize records per file). */
+  private def prependHeaders(): Unit = {
+    val out = Paths.get(outDir)
+    if (!Files.isDirectory(out)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(out).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(s".$ext"))
+      .foreach { f =>
+        val body = Files.readString(f)
+        if (!body.startsWith("@prefix"))
+          Files.writeString(f, prefixHeader + body)
+      }
+  }
+}
