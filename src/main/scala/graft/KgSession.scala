@@ -3,6 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.checkpoint.CheckpointStore
 import graft.dedup.Dedup
 import graft.model._
 import graft.sinks._
@@ -16,9 +17,15 @@ import graft.translate.Translate
   *
   * Cross-call dedup semantics (the reference's session-lifetime
   * Deduplicator, _deduplicate.py:21-28): ids seen by earlier write calls
-  * are dropped from later ones, realized as an anti-join against the
-  * accumulated seen-key sets (cached; at scale this is the checkpointed
-  * `seen_ids` table of SURVEY §7.2-5).
+  * are dropped from later ones. The seen-key sets are CHECKPOINTED parquet
+  * snapshots (SURVEY §7.2-5): each write commits a new version via
+  * [[CheckpointStore]], so lineage stays one-snapshot deep regardless of
+  * how many write calls the session makes, cache memory is bounded (the
+  * per-call fresh set is unpersisted after use), and a NEW session over
+  * the same output directory resumes the seen state — idempotent re-runs
+  * across JVMs, which the reference's in-memory Deduplicator cannot do.
+  * Rel-as-node entities get the same treatment keyed on (label, node id)
+  * (reference rel_as_node_seen, _deduplicate.py:83-111).
   */
 final class KgSession(
     val spark: SparkSession,
@@ -31,81 +38,140 @@ final class KgSession(
 
   val bcCtx = spark.sparkContext.broadcast(ctx)
 
-  val sink: BatchSink = dbms match {
+  val sink: EntitySink = dbms match {
     case "neo4j"    => new Neo4jCsvSink(ctx, outDir)
     case "postgres" => new PostgresCsvSink(ctx, outDir)
     case "sqlite"   => new SqliteCsvSink(ctx, outDir)
     case "arango"   => new ArangoCsvSink(ctx, outDir)
+    case "rdf"      => new RdfSink(ctx, outDir)
+    case "csv"      => new PandasCsvSink(ctx, outDir)
+    case "networkx" => new NetworkxSink(ctx, outDir)
     case other      => throw new IllegalArgumentException(s"unknown dbms $other")
   }
 
-  // session-lifetime seen-key state (cross-call dedup)
-  private var seenNodeIds: Option[DataFrame] = None
-  private var seenEdgeKeys: Option[DataFrame] = None
+  // ---------------------------------------------- checkpointed seen state
 
-  // in-memory accumulation for the `add`/`toDf` path
+  private val store = new CheckpointStore(spark, s"$outDir/_graft_checkpoint")
+
+  /** Latest committed version per key space (resumes across sessions). */
+  private val version: scala.collection.mutable.Map[String, Int] = {
+    val m = scala.collection.mutable.Map[String, Int]()
+    Seq("seen_node_ids", "seen_edge_keys", "seen_rel_keys").foreach { space =>
+      var v = 0
+      while (store.isCommitted(s"$space/v${v + 1}")) v += 1
+      m(space) = v
+    }
+    m
+  }
+
+  private def seen(space: String): Option[DataFrame] =
+    version(space) match {
+      case 0 => None
+      case v => Some(store.read(s"$space/v$v"))
+    }
+
+  /** Anti-join `keyed` (payload + one `_k` column) against the seen set,
+    * run `use` on the fresh rows, then commit seen ∪ fresh as the next
+    * snapshot version. The fresh set is cached for the two consumers and
+    * unpersisted afterwards — no growing union lineage, no leaked caches. */
+  private def withFresh[T](space: String, keyed: DataFrame)(use: DataFrame => T): T = {
+    val fresh = seen(space) match {
+      case Some(s) => keyed.join(s.select("_k"), Seq("_k"), "left_anti")
+      case None    => keyed
+    }
+    val freshCached = fresh.cache()
+    try {
+      val r = use(freshCached)
+      val nextKeys = seen(space) match {
+        case Some(s) => s.select("_k").union(freshCached.select("_k"))
+        case None    => freshCached.select("_k")
+      }
+      val v = version(space) + 1
+      store.commit(s"$space/v$v", nextKeys)
+      version(space) = v
+      r
+    } finally freshCached.unpersist(blocking = false)
+  }
+
+  private def edgeKey(d: Dataset[KgEdge]) = d.withColumn("_k",
+    concat_ws("\u0000", col("label"),
+      coalesce(col("relId"), concat_ws("_", col("src"), col("tgt")))))
+  private def relKey(d: Dataset[RelAsNode]) = d.withColumn("_k",
+    concat_ws("\u0000", col("node.label"), col("node.id")))
+
+  private def dedupNodesAgainstSeen[T](ns: Dataset[KgNode])(use: Dataset[KgNode] => T): T =
+    withFresh("seen_node_ids", Dedup.nodes(ns).withColumn("_k", col("id"))) { fresh =>
+      use(fresh.drop("_k").as[KgNode])
+    }
+
+  private def dedupEdgesAgainstSeen[T](es: Dataset[KgEdge])(use: Dataset[KgEdge] => T): T =
+    withFresh("seen_edge_keys", edgeKey(Dedup.edges(es))) { fresh =>
+      use(fresh.drop("_k").as[KgEdge])
+    }
+
+  private def dedupRelsAgainstSeen[T](rs: Dataset[RelAsNode])(use: Dataset[RelAsNode] => T): T =
+    withFresh("seen_rel_keys", relKey(Dedup.relAsNodes(rs))) { fresh =>
+      use(fresh.drop("_k").as[RelAsNode])
+    }
+
+  // ----------------------------------------------------------- write path
+
+  /** Translate raw node tuples, dedup (incl. vs earlier calls AND earlier
+    * sessions over this outDir), write. */
+  def writeNodes(raw: Dataset[RawNode]): Unit =
+    dedupNodesAgainstSeen(Translate.nodes(raw, bcCtx))(sink.writeNodes)
+
+  /** Translate raw edge tuples; plain edges written as edges, rel-as-node
+    * entities flattened nodes-first (reference: _batch_writer.py:363-369).
+    * Both are session-deduped (rel-as-node keyed on (label, node id),
+    * reference rel_as_node_seen). */
+  def writeEdges(raw: Dataset[RawEdge]): Unit = {
+    val entities = Translate.edges(raw, bcCtx).cache()
+    try {
+      dedupRelsAgainstSeen(entities.filter(_.rel != null).map(_.rel))(sink.writeRelAsNodes)
+      dedupEdgesAgainstSeen(entities.filter(_.edge != null).map(_.edge))(sink.writeEdges)
+    } finally entities.unpersist(blocking = false)
+  }
+
+  def writeHeaders(): Unit = sink match {
+    case b: BatchSink => b.writeHeaders()
+    case _            => () // RDF/plain-CSV/NetworkX have no header files
+  }
+
+  def writeImportCall(): String = { writeHeaders(); sink.writeImportCall() }
+
+  // ------------------------------------------------------- in-memory path
+
   private var accNodes: Option[Dataset[KgNode]] = None
   private var accEdges: Option[Dataset[KgEdge]] = None
 
-  private def dedupAgainstSeen(ns: Dataset[KgNode]): Dataset[KgNode] = {
-    val deduped = Dedup.nodes(ns)
-    val fresh = seenNodeIds match {
-      case Some(seen) => deduped.join(seen, Seq("id"), "left_anti").as[KgNode]
-      case None       => deduped
-    }
-    val freshCached = fresh.cache()
-    val ids = freshCached.select("id")
-    seenNodeIds = Some(seenNodeIds.map(_.union(ids)).getOrElse(ids).cache())
-    freshCached
-  }
-
-  private def dedupEdgesAgainstSeen(es: Dataset[KgEdge]): Dataset[KgEdge] = {
-    val deduped = Dedup.edges(es)
-    val withKey = (d: Dataset[KgEdge]) => d.withColumn("_k",
-      concat_ws("\u0000", col("label"), coalesce(col("relId"), concat_ws("_", col("src"), col("tgt")))))
-    val fresh = seenEdgeKeys match {
-      case Some(seen) => withKey(deduped).join(seen, Seq("_k"), "left_anti").drop("_k").as[KgEdge]
-      case None       => deduped
-    }
-    val freshCached = fresh.cache()
-    val keys = withKey(freshCached).select("_k")
-    seenEdgeKeys = Some(seenEdgeKeys.map(_.union(keys)).getOrElse(keys).cache())
-    freshCached
-  }
-
-  /** Translate raw node tuples, dedup (incl. vs earlier calls), write. */
-  def writeNodes(raw: Dataset[RawNode]): Unit =
-    sink.writeNodes(dedupAgainstSeen(Translate.nodes(raw, bcCtx)))
-
-  /** Translate raw edge tuples; plain edges written as edges, rel-as-node
-    * entities flattened nodes-first (reference: _batch_writer.py:363-369). */
-  def writeEdges(raw: Dataset[RawEdge]): Unit = {
-    val entities = Translate.edges(raw, bcCtx).cache()
-    val rels = Dedup.relAsNodes(entities.filter(_.rel != null).map(_.rel))
-    sink.writeRelAsNodes(rels)
-    sink.writeEdges(dedupEdgesAgainstSeen(entities.filter(_.edge != null).map(_.edge)))
-    entities.unpersist(blocking = false)
-  }
-
-  def writeHeaders(): Unit = sink.writeHeaders()
-  def writeImportCall(): String = { sink.writeHeaders(); sink.writeImportCall() }
-
   /** In-memory path: accumulate translated entities (deduped across calls,
-    * like the reference's `add`, _core.py:463-481). */
-  def addNodes(raw: Dataset[RawNode]): Unit = {
-    val fresh = dedupAgainstSeen(Translate.nodes(raw, bcCtx))
-    accNodes = Some(accNodes.map(_.union(fresh)).getOrElse(fresh))
-  }
+    * like the reference's `add`, _core.py:463-481). Accumulated sets are
+    * cached and materialized before the seen snapshot advances. */
+  def addNodes(raw: Dataset[RawNode]): Unit =
+    dedupNodesAgainstSeen(Translate.nodes(raw, bcCtx)) { fresh =>
+      val kept = fresh.cache()
+      kept.count()
+      accNodes = Some(accNodes.map(_.union(kept)).getOrElse(kept))
+    }
 
   def addEdges(raw: Dataset[RawEdge]): Unit = {
     val entities = Translate.edges(raw, bcCtx).cache()
-    val plainFresh = dedupEdgesAgainstSeen(entities.filter(_.edge != null).map(_.edge))
-    val rels = Dedup.relAsNodes(entities.filter(_.rel != null).map(_.rel)).cache()
-    val relNodes = rels.map(_.node)
-    val relEdges = rels.flatMap(r => Seq(r.sourceEdge, r.targetEdge))
-    accNodes = Some(accNodes.map(_.union(relNodes)).getOrElse(relNodes))
-    accEdges = Some(accEdges.map(_.union(plainFresh).union(relEdges))
-      .getOrElse(plainFresh.union(relEdges)))
+    try {
+      dedupRelsAgainstSeen(entities.filter(_.rel != null).map(_.rel)) { rels =>
+        val kept = rels.cache()
+        kept.count()
+        val relNodes = kept.map(_.node)
+        val relEdges = kept.flatMap(r => Seq(r.sourceEdge, r.targetEdge))
+        accNodes = Some(accNodes.map(_.union(relNodes)).getOrElse(relNodes))
+        accEdges = Some(accEdges.map(_.union(relEdges)).getOrElse(relEdges))
+      }
+      dedupEdgesAgainstSeen(entities.filter(_.edge != null).map(_.edge)) { plain =>
+        val kept = plain.cache()
+        kept.count()
+        accEdges = Some(accEdges.map(_.union(kept)).getOrElse(kept))
+      }
+    } finally entities.unpersist(blocking = false)
   }
 
   /** Per-label property-pivoted frames (reference `to_df`, in_memory path). */

@@ -146,6 +146,16 @@ object SparkEntry {
       graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
         .select(col("node_id"), col("node_label"), col("name"))
     }),
+    "kg_rdf_reified" -> ((s, dir) => {
+      // reified-edge triple table (reference RDF semantics: edges become
+      // predicate nodes with biocypher:subject/object links, _rdf.py:127-165)
+      val pipe = KgPipeline.analytics(s)
+      val dm = pipe.docMentions(kgDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rdf-").toString
+      new graft.sinks.RdfSink(pipe.bcCtx.value, tmp).reifiedEdgeTriples(es)
+    }),
     "dedup_lsh_candidates" -> ((s, dir) =>
       DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8)),
     "ann_lsh_topk" -> ((s, dir) => {
@@ -323,6 +333,27 @@ object SparkEntry {
          |SELECT DISTINCT t.curie AS node_id, t.cls AS node_label, t.term AS name
          |FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
          |WHERE t.cls = 'relational operator'""".stripMargin,
+    "kg_rdf_reified" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |p AS (SELECT DISTINCT a.curie AS ca, b.curie AS cb
+         |      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie),
+         |bc AS (SELECT 'https://biocypher.org/biocypher#' AS ns)
+         |SELECT ns||doc_id||curie AS subj,
+         |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         |  ns||'MENTIONS' AS obj FROM m, bc
+         |UNION ALL
+         |SELECT ns||doc_id||curie, ns||'subject', ns||doc_id FROM m, bc
+         |UNION ALL
+         |SELECT ns||doc_id||curie, ns||'object', ns||curie FROM m, bc
+         |UNION ALL
+         |SELECT ns||ca||cb, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         |  ns||'COOCCURS_WITH' FROM p, bc
+         |UNION ALL
+         |SELECT ns||ca||cb, ns||'subject', ns||ca FROM p, bc
+         |UNION ALL
+         |SELECT ns||ca||cb, ns||'object', ns||cb FROM p, bc""".stripMargin,
     "dedup_lsh_candidates" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

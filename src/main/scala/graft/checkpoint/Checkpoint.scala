@@ -50,6 +50,12 @@ final class CheckpointStore(spark: SparkSession, rootDir: String) {
     back
   }
 
+  /** Read a committed snapshot (stage must be committed). */
+  def read(stage: String): DataFrame = {
+    require(isCommitted(stage), s"stage $stage is not committed")
+    spark.read.parquet(stageDir(stage).toString)
+  }
+
   /** Read the committed snapshot, or compute + commit it. */
   def readOrCompute(stage: String)(compute: => DataFrame): DataFrame =
     if (isCommitted(stage)) spark.read.parquet(stageDir(stage).toString)

@@ -91,7 +91,7 @@ final class RdfSink(
     val outDir: String,
     val format: String = "nt",
     userNamespaces: Map[String, String] = Map.empty,
-) extends Serializable {
+) extends EntitySink {
 
   require(format == "nt" || format == "ttl", s"unsupported RDF format $format")
 
@@ -209,6 +209,45 @@ final class RdfSink(
     val decls = ds.select(col("label")).distinct().as[String]
       .map(l => (Naming.nameSentenceToPascal(l), self.classLine(l)))
     writeLabeled(decls.union(body).toDF("label", "value"))
+  }
+
+  /** Rel-as-node entities: nodes first, then both connector edges (same
+    * referential-integrity order as the batch sinks). */
+  def writeRelAsNodes(ds: Dataset[RelAsNode]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    writeNodes(ds.map(_.node))
+    writeEdges(ds.flatMap(r => Seq(r.sourceEdge, r.targetEdge)))
+  }
+
+  /** RDF has no bulk-import call (reference `_construct_import_call`
+    * returns the empty string, _rdf.py:379-388). */
+  def writeImportCall(): String = ""
+
+  /** (subj, pred, obj) reified-edge triple TABLE — the queryable analogue
+    * of [[edgeLines]] (pure Catalyst, no serialization): per edge a
+    * predicate node `biocypher:<relId | src+tgt>` typed by the edge class
+    * plus biocypher:subject / biocypher:object links. */
+  def reifiedEdgeTriples(edges: Dataset[KgEdge]): org.apache.spark.sql.DataFrame = {
+    val bc = RdfVocab.Biocypher
+    // the label space is schema-bounded: fold the pascal rename into the plan
+    val pascal = typedLit(ctx.specs.values.flatMap(_.labelAsEdge).map(l =>
+      l -> Naming.nameSentenceToPascal(l)).toMap ++
+      ctx.specs.keys.map(k => k -> Naming.nameSentenceToPascal(k)).toMap)
+    val nsMap = typedLit(namespaces)
+    def uriCol(c: org.apache.spark.sql.Column) = {
+      val parts = split(c, ":")
+      when(size(parts) === 2 && element_at(nsMap, element_at(parts, 1)).isNotNull,
+        concat(element_at(nsMap, element_at(parts, 1)), element_at(parts, 2)))
+        .otherwise(concat(lit(bc), c))
+    }
+    val pred = concat(lit(bc), coalesce(col("relId"), concat(col("src"), col("tgt"))))
+    val cls = concat(lit(bc), coalesce(element_at(pascal, col("label")), col("label")))
+    edges.select(explode(array(
+      struct(pred.as("subj"), lit(RdfVocab.RdfType).as("pred"), cls.as("obj")),
+      struct(pred.as("subj"), lit(bc + "subject").as("pred"), uriCol(col("src")).as("obj")),
+      struct(pred.as("subj"), lit(bc + "object").as("pred"), uriCol(col("tgt")).as("obj")),
+    )).as("t")).select(col("t.subj").as("subj"), col("t.pred").as("pred"), col("t.obj").as("obj"))
   }
 
   /** Turtle part files need their @prefix block; the distributed commit

@@ -13,33 +13,58 @@ import graft.model.{KgEdge, KgNode}
   * across successive write_nodes calls, test_pandas.py:36-40). In Spark
   * that cross-batch state maps exactly onto `mapGroupsWithState`: the state
   * store IS the seen-set, checkpointed and resumable.
+  *
+  * State TTL: an unbounded seen-set grows with corpus cardinality forever —
+  * honest at 100 TB only with an expiry. Every dedup state here carries a
+  * processing-time timeout (default 30 days): an id unseen for the TTL is
+  * forgotten and would be re-emitted if it reappears later — the standard
+  * bounded-state trade (exact-within-horizon), and the horizon is the
+  * caller's knob. Pass `ttl = null` to opt into unbounded state explicitly.
   */
 object Streaming {
 
+  val DefaultTtl = "30 days"
+
+  private def timeoutConf(ttl: String): GroupStateTimeout =
+    if (ttl == null) GroupStateTimeout.NoTimeout
+    else GroupStateTimeout.ProcessingTimeTimeout
+
   /** Cross-micro-batch node dedup: emit a node the first time its id is
-    * seen, drop it forever after (first-wins, like the reference). */
-  def dedupNodesStream(nodes: Dataset[KgNode]): Dataset[KgNode] = {
+    * seen, drop it for the TTL horizon after. */
+  def dedupNodesStream(nodes: Dataset[KgNode], ttl: String = DefaultTtl): Dataset[KgNode] = {
     import nodes.sparkSession.implicits._
     nodes.groupByKey(_.id)
       .flatMapGroupsWithState[Boolean, KgNode](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttl)) {
         (_: String, rows: Iterator[KgNode], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
-          else Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+              else Iterator.empty
+            if (ttl != null) state.setTimeoutDuration(ttl)
+            out
+          }
       }
   }
 
-  /** Per-type cross-batch edge dedup on relId / src_tgt. */
-  def dedupEdgesStream(edges: Dataset[KgEdge]): Dataset[KgEdge] = {
+  /** Per-type cross-batch edge dedup on relId / src_tgt, TTL-bounded. */
+  def dedupEdgesStream(edges: Dataset[KgEdge], ttl: String = DefaultTtl): Dataset[KgEdge] = {
     import edges.sparkSession.implicits._
     edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
       .flatMapGroupsWithState[Boolean, KgEdge](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttl)) {
         (_: (String, String), rows: Iterator[KgEdge], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
-          else Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+              else Iterator.empty
+            if (ttl != null) state.setTimeoutDuration(ttl)
+            out
+          }
       }
   }
 

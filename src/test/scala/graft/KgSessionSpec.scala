@@ -83,6 +83,66 @@ class KgSessionSpec extends AnyFunSuite {
     assert(rows.count(_.startsWith("p2;")) == 1)
   }
 
+  test("seen state is checkpointed: a NEW session over the same outDir resumes dedup") {
+    val dir = Files.createTempDirectory("graft-resume-").toString
+    val a = new KgSession(spark, SparkTestBase.ctx, dir)
+    a.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p2"))))
+    // fresh session, same outDir: p1/p2 already seen (checkpointed snapshot)
+    val b = new KgSession(spark, SparkTestBase.ctx, dir)
+    b.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p2"), protein("p3"))))
+    val all = Files.list(java.nio.file.Path.of(dir)).iterator()
+    var rows = List.empty[String]
+    while (all.hasNext) {
+      val p = all.next()
+      if (p.getFileName.toString.startsWith("Protein-part"))
+        rows ++= Files.readAllLines(p).toArray(Array.empty[String]).toList
+    }
+    assert(rows.count(_.startsWith("p1;")) == 1)
+    assert(rows.count(_.startsWith("p2;")) == 1)
+    assert(rows.count(_.startsWith("p3;")) == 1)
+  }
+
+  test("rel-as-node entities are session-deduped across writeEdges calls") {
+    val s = session()
+    val raw = spark.createDataset(Seq(
+      RawEdge(null, "a", "b", "post_translational",
+        Props.of("directed" -> PV.bool(true)))))
+    s.writeEdges(raw)
+    s.writeEdges(raw) // same reified relationship again: must NOT rewrite
+    val files = Files.list(java.nio.file.Path.of(s.outDir)).iterator()
+    var relRows = List.empty[String]
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.getFileName.toString.startsWith("PostTranslationalInteraction-part"))
+        relRows ++= Files.readAllLines(p).toArray(Array.empty[String]).toList
+    }
+    assert(relRows.length == 1)
+  }
+
+  test("sink factory covers rdf, plain csv and networkx writers") {
+    val rdf = session("rdf")
+    rdf.writeNodes(spark.createDataset(Seq(protein("p:1"))))
+    val rdfNames = {
+      val it = Files.list(java.nio.file.Path.of(rdf.outDir)).iterator()
+      val b = scala.collection.mutable.Set[String]()
+      while (it.hasNext) b += it.next().getFileName.toString
+      b
+    }
+    assert(rdfNames.exists(_.startsWith("Protein-part")))
+    val csv = session("csv")
+    csv.writeNodes(spark.createDataset(Seq(protein("p1"))))
+    assert(Files.exists(java.nio.file.Path.of(csv.outDir, "protein.csv")))
+    val script = Files.readString(java.nio.file.Path.of(csv.writeImportCall()))
+    assert(script.contains("pd.read_csv('./protein.csv'"))
+    val nx = session("networkx")
+    nx.writeNodes(spark.createDataset(Seq(protein("p1"))))
+    nx.writeEdges(spark.createDataset(Seq(
+      RawEdge("r1", "p1", "p1", "phosphorylation", Props.empty))))
+    assert(Files.isDirectory(java.nio.file.Path.of(nx.outDir, "networkx_graph")))
+    assert(Files.readString(java.nio.file.Path.of(nx.writeImportCall()))
+      .contains("nx.from_pandas_edgelist"))
+  }
+
   test("schema info yaml marks present classes") {
     val s = session()
     val ns = spark.createDataset(Seq(

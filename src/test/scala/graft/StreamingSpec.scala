@@ -17,7 +17,9 @@ class StreamingSpec extends AnyFunSuite {
   test("stream dedup drops duplicates across micro-batches (first wins)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[KgNode]
-    val q = Streaming.dedupNodesStream(in.toDS())
+    // ttl = null: unbounded seen-set (the reference's exact semantics);
+    // processAllAvailable + processing-time timers don't mix in a test
+    val q = Streaming.dedupNodesStream(in.toDS(), ttl = null)
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode(OutputMode.Append).start()
     try {
@@ -33,6 +35,31 @@ class StreamingSpec extends AnyFunSuite {
       // first wins: 'a' kept the first batch's property value
       val a = out.find(_.id == "a").get
       assert(Props.get(a.props, "v").map(_.s).contains("1"))
+    } finally q.stop()
+  }
+
+  test("TTL-bounded dedup (processing-time timers) runs and dedups a batch") {
+    // Processing-time timers keep scheduling no-data micro-batches, so
+    // neither processAllAvailable nor Trigger.AvailableNow ever settles —
+    // poll the sink instead, then stop the query. (The expiry semantics
+    // themselves are wall-clock timers inside Spark's state store; the
+    // first-wins path below proves the TTL-configured plumbing works.)
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KgNode]
+    val q = Streaming.dedupNodesStream(in.toDS(), ttl = "30 days")
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        KgNode.make("a", "protein", "id", Props.of("v" -> PV.int(1))),
+        KgNode.make("a", "protein", "id", Props.of("v" -> PV.int(2))))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = Array.empty[KgNode]
+      while (rows.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("ttl_out").as[KgNode].collect()
+      }
+      assert(rows.map(_.id).toSeq == Seq("a")) // deduped within the batch
     } finally q.stop()
   }
 
