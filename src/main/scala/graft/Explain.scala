@@ -18,7 +18,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q2_join", "kg_mentions", "kg_triples", "dedup_minhash_lsh", "ann_cosine_topk")
+      else Seq("q1_agg", "q2_join", "kg_mentions", "kg_triples", "kg_rdf_reified",
+        "dedup_minhash_lsh", "dedup_lsh_candidates", "dedup_jaccard",
+        "dedup_embedding", "ann_cosine_topk")
     names.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries.get(name) match {

@@ -196,10 +196,22 @@ object SparkEntry {
     "ann_lsh_hist" -> ((s, dir) =>
       AnnOps.bucketHistogram(tbl(s, dir, "embeddings"), nBits = 8)),
 
+    "ann_vector_groups" -> ((s, dir) =>
+      AnnOps.exactVectorDups(tbl(s, dir, "embeddings"), minCopies = 1)),
+    "dedup_embedding" -> ((s, dir) =>
+      // synthetic embeddings are random, so the demo threshold is "similar"
+      // (0.3) rather than near-dup (the operator default 0.99 would be
+      // vacuously empty here); the plan shape is identical
+      AnnOps.cosineNearDupPairs(tbl(s, dir, "embeddings"), minCos = 0.3)),
+
     // -- multimodal plumbing --
     "mm_media_meta" -> ((s, dir) =>
       MultimodalOps.decodeMetadata(MultimodalOps.mediaSpans(kgDocs(s, dir)))
         .withColumnRenamed("offset", "span_offset")),
+    "mm_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.decodeMetadata(MultimodalOps.mediaSpans(kgDocs(s, dir))),
+        stride = 1, kind = "image")),
   )
 
   // -------------------------------------------------------------- oracles
@@ -521,6 +533,34 @@ object SparkEntry {
         | count(*) AS n
         |FROM embeddings GROUP BY 1""".stripMargin,
 
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |  (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END
+        | + CASE WHEN embedding[3]>0 THEN 4 ELSE 0 END + CASE WHEN embedding[4]>0 THEN 8 ELSE 0 END
+        | + CASE WHEN embedding[5]>0 THEN 16 ELSE 0 END + CASE WHEN embedding[6]>0 THEN 32 ELSE 0 END
+        | + CASE WHEN embedding[7]>0 THEN 64 ELSE 0 END + CASE WHEN embedding[8]>0 THEN 128 ELSE 0 END) AS b,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        | FROM embeddings
+        | QUALIFY count(*) OVER (PARTITION BY (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END
+        |  + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END + CASE WHEN embedding[3]>0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[4]>0 THEN 8 ELSE 0 END + CASE WHEN embedding[5]>0 THEN 16 ELSE 0 END
+        |  + CASE WHEN embedding[6]>0 THEN 32 ELSE 0 END + CASE WHEN embedding[7]>0 THEN 64 ELSE 0 END
+        |  + CASE WHEN embedding[8]>0 THEN 128 ELSE 0 END)) <= 256)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |  round(list_dot_product(x.q,y.q) /
+        |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) AS cosine
+        |FROM e x JOIN e y ON x.b = y.b AND x.vec_id < y.vec_id
+        |WHERE round(list_dot_product(x.q,y.q) /
+        |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) >= 0.3""".stripMargin,
+    "ann_vector_groups" ->
+      """SELECT md5(to_json(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)))) AS vh,
+        |  count(*) AS n, min(vec_id) AS keep_id
+        |FROM embeddings GROUP BY 1""".stripMargin,
+    "mm_frames" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        | 'media://img/'||doc_id AS media_ref, CAST(0 AS BIGINT) AS frame_idx
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "mm_media_meta" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image' AS kind,
         | 'media://img/'||doc_id AS media_ref, 1 AS span_offset,

@@ -279,6 +279,71 @@ final class Ontology(
     * (reference: _ontology.py:679-691). */
   def getAncestors(label: String): List[String] = graph.dfsAncestors(label)
 
+  /** ASCII tree of the ontology hierarchy (reference
+    * `show_ontology_structure`, _ontology.py:693-792 + the treelib builder
+    * in _misc.py:72-91): `full = false` restricts to the schema classes and
+    * their ancestor chains; multiple inheritance shows the child once under
+    * its FIRST parent (same caveat the reference logs); schema synonyms are
+    * tagged `node = synonym_for`. */
+  def showOntologyStructure(full: Boolean = false): String = {
+    require(full || extendedSchema.nonEmpty,
+      "Visualising a subset requires a schema configuration; use full = true otherwise.")
+    val keep: Set[String] =
+      if (full) graph.nodes.keys.toSet
+      else extendedSchema.keys.toSet ++ extendedSchema.keys.flatMap(getAncestors)
+    val kept = graph.nodes.keys.filter(keep).toList
+    val parentOf: Map[String, Option[String]] =
+      kept.map(n => n -> graph.parents(n).find(keep)).toMap
+    val children: Map[String, List[String]] =
+      kept.groupBy(n => parentOf(n).getOrElse("")).withDefaultValue(Nil)
+    def tag(n: String): String =
+      extendedSchema.get(n).flatMap(_.get("synonym_for")).map(Y.str) match {
+        case Some(syn) => s"$n = $syn"
+        case None      => n
+      }
+    val sb = new StringBuilder
+    def render(n: String, prefix: String, isLast: Boolean, isRoot: Boolean): Unit = {
+      if (isRoot) sb ++= tag(n) + "\n"
+      else sb ++= prefix + (if (isLast) "└── " else "├── ") + tag(n) + "\n"
+      val kids = children(n).sorted
+      kids.zipWithIndex.foreach { case (c, i) =>
+        val childPrefix =
+          if (isRoot) "" else prefix + (if (isLast) "    " else "│   ")
+        render(c, childPrefix, i == kids.length - 1, isRoot = false)
+      }
+    }
+    val roots = kept.filter(n => parentOf(n).isEmpty).sorted
+    roots.foreach(r => render(r, "", isLast = true, isRoot = true))
+    sb.toString
+  }
+
+  /** GraphML artifact of the ontology hierarchy (reference writes
+    * `ontology_structure.graphml` via networkx, _ontology.py:757-778):
+    * nodes keyed by their graph key with the ontology `label` attribute,
+    * one directed edge per child->parent pair. Driver-side: the ontology
+    * is metadata-sized. */
+  def writeGraphml(toDisk: String): java.nio.file.Path = {
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0" encoding="UTF-8"?>""" + "\n"
+    sb ++= """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" + "\n"
+    sb ++= """  <key id="label" for="node" attr.name="label" attr.type="string"/>""" + "\n"
+    sb ++= """  <graph edgedefault="directed">""" + "\n"
+    graph.nodes.foreach { case (n, attrs) =>
+      val lab = attrs.getOrElse("label", n)
+      sb ++= s"""    <node id="${esc(n)}"><data key="label">${esc(lab)}</data></node>""" + "\n"
+    }
+    graph.succ.foreach { case (c, ps) =>
+      ps.foreach(p => sb ++= s"""    <edge source="${esc(c)}" target="${esc(p)}"/>""" + "\n")
+    }
+    sb ++= "  </graph>\n</graphml>\n"
+    val p = java.nio.file.Paths.get(toDisk, "ontology_structure.graphml")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, sb.toString)
+    p
+  }
+
   /** Precomputed PascalCase ancestor-label closure for every schema class —
     * the broadcastable `label -> Array[ancestors]` table (SURVEY §1.3). */
   def ancestorClosure(labelsOrder: String = "Ascending"): Map[String, List[String]] =

@@ -68,9 +68,43 @@ object AnnOps {
       queryVec, excludeId, k)
   }
 
-  /** All-pairs exact duplicate embeddings (quantized-equal vectors). */
-  def exactVectorDups(embeddings: DataFrame): DataFrame =
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of the
+    * dedup family: candidate pairs come from sign-bucket equality (one
+    * groupBy, no all-pairs; same cap discipline as the MinHash LSH path:
+    * buckets larger than `maxBucket` are skipped), then the exact quantized
+    * cosine (codegen'd pairwise expression) filters at `minCos`.
+    * (vec_a, vec_b, cosine), vec_a < vec_b. Scale: candidates are bounded
+    * by corpus/2ⁿᵇⁱᵗˢ per bucket with the cap as the skew backstop; recall
+    * misses near-dups straddling a sign boundary — the standard LSH trade,
+    * tighten with multi-probe or more tables if needed. */
+  def cosineNearDupPairs(embeddings: DataFrame, minCos: Double = 0.99,
+      nBits: Int = 8, maxBucket: Int = 256): DataFrame = {
+    val byBucket = embeddings
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), nBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .filter(size(col("vs")).between(2, maxBucket))
+    val pairs = byBucket.select(explode(flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + 2, size(col("vs"))),
+        y => struct(x.getField("vec_id").as("vec_a"),
+          y.getField("vec_id").as("vec_b"),
+          x.getField("embedding").as("ea"),
+          y.getField("embedding").as("eb")))))).as("p"))
+    val cos = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.QuantizedCosinePair(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("p.ea")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("p.eb"))))
+    pairs.select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
+  /** Exact duplicate embeddings (quantized-equal vectors): one hash-agg on
+    * the quantized-vector fingerprint, keeper = smallest vec_id.
+    * `minCopies = 2` returns only true duplicate groups; 1 returns every
+    * group (the auditable full histogram). */
+  def exactVectorDups(embeddings: DataFrame, minCopies: Int = 2): DataFrame =
     embeddings.groupBy(md5(to_json(quantize(col("embedding")))).as("vh"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("keep_id"))
-      .filter(col("n") > 1)
+      .filter(col("n") >= minCopies)
 }

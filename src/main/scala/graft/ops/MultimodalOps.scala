@@ -43,10 +43,11 @@ object MultimodalOps {
     )
   }
 
-  /** Deterministic frame sampling for video spans: every `stride`-th frame
-    * index up to n_frames. */
-  def sampleFrames(meta: DataFrame, stride: Int = 4): DataFrame =
-    meta.filter(col("kind") === "video")
+  /** Deterministic frame sampling: every `stride`-th frame index up to
+    * n_frames for spans of `kind` (video by default; images are a single
+    * frame). */
+  def sampleFrames(meta: DataFrame, stride: Int = 4, kind: String = "video"): DataFrame =
+    meta.filter(col("kind") === kind)
       .select(col("doc_id"), col("media_ref"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
 

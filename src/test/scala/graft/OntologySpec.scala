@@ -165,4 +165,33 @@ class OntologySpec extends AnyFunSuite {
     assert(alpha == asc.sorted)
     assert(leaves == List("Protein"))
   }
+
+  test("show_ontology_structure: schema-restricted ASCII tree with synonym tags") {
+    val tree = onto.showOntologyStructure()
+    val lines = tree.linesIterator.toList
+    assert(lines.head == "entity")
+    // schema classes and their ancestor chains are present, nested
+    assert(lines.exists(_.matches(".*[├└]── biological entity")))
+    assert(lines.exists(_.endsWith(" protein")))
+    // deeper nesting is further indented than its parent
+    val bio = lines.indexWhere(_.endsWith("biological entity"))
+    val prot = lines.indexWhere(_.endsWith(" protein"))
+    assert(bio >= 0 && prot > bio)
+    // synonym_for renders as "node = target" (reference tag rewrite)
+    assert(tree.contains("complex = macromolecular complex"))
+    // full=false without schema raises
+    val bare = Ontology.fromTtl(headTtl, "entity")
+    intercept[IllegalArgumentException](bare.showOntologyStructure())
+    assert(bare.showOntologyStructure(full = true).startsWith("entity"))
+  }
+
+  test("writeGraphml emits the ontology_structure.graphml artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gml-")
+    val p = onto.writeGraphml(dir.toString)
+    val xml = java.nio.file.Files.readString(p)
+    assert(p.getFileName.toString == "ontology_structure.graphml")
+    assert(xml.contains("<graphml"))
+    assert(xml.contains("<node id=\"protein\">"))
+    assert(xml.contains("<edge source=\"protein\""))
+  }
 }
