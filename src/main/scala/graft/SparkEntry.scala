@@ -158,6 +158,9 @@ object SparkEntry {
     }),
     "dedup_lsh_candidates" -> ((s, dir) =>
       DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8)),
+    "dedup_clusters" -> ((s, dir) =>
+      DedupOps.dedupClusters(
+        DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8))),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -229,6 +232,28 @@ object SparkEntry {
     s"WITH dict(term, cls, curie, pfx, pascal) AS (VALUES $dictValues)"
 
   private val tokHash = "('0x'||substr(md5(w),1,14))::BIGINT"
+
+  /** Shared CTE chain producing the capped LSH candidate pairs `cand`
+    * (used by both the candidate oracle and the cluster oracle). */
+  private val lshCandCtes: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
+      |              ELSE array_to_string(t, ' ') END AS shingle
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-1, 1))) AS i) s),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,14))::BIGINT % 1000000007 AS hv FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
+      |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
+      |        GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, j // 8 AS band,
+      |         array_to_string(list(sg ORDER BY j), '_') AS bucket
+      |       FROM sig GROUP BY doc_id, j // 8),
+      |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
+      |       HAVING count(*) BETWEEN 2 AND 64),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bk x JOIN bk y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      |  JOIN ok ON x.band = ok.band AND x.bucket = ok.bucket)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -367,24 +392,18 @@ object SparkEntry {
          |UNION ALL
          |SELECT ns||ca||cb, ns||'object', ns||cb FROM p, bc""".stripMargin,
     "dedup_lsh_candidates" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
-        |              ELSE array_to_string(t, ' ') END AS shingle
-        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-1, 1))) AS i) s),
-        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,14))::BIGINT % 1000000007 AS hv FROM sh),
-        |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
-        |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
-        |        GROUP BY doc_id, j),
-        |bk AS (SELECT doc_id, j // 8 AS band,
-        |         array_to_string(list(sg ORDER BY j), '_') AS bucket
-        |       FROM sig GROUP BY doc_id, j // 8),
-        |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
-        |       HAVING count(*) BETWEEN 2 AND 64)
-        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |FROM bk x JOIN bk y
-        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-        |JOIN ok ON x.band = ok.band AND x.bucket = ok.bucket""".stripMargin,
+      s"""WITH $lshCandCtes
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc_id)
+         |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster
+         |FROM reach GROUP BY doc_id""".stripMargin,
     "ann_lsh_topk" ->
       """WITH qb AS (SELECT
         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END

@@ -150,6 +150,43 @@ object DedupOps {
       .distinct()
   }
 
+  /** Connected-component cluster assignment over candidate pairs: every doc
+    * that appears in a pair maps to its component's smallest doc_id (the
+    * canonical keeper — the distributed form of the reference's first-wins
+    * dedup applied to near-duplicate clusters). Iterative min-label
+    * propagation with a convergence check; iterations are bounded by the
+    * component diameter, and near-dup clusters are shallow by construction
+    * (every member shares a bucket with the seed). For adversarial deep
+    * chains at 100 TB swap in large-star/small-star — the API (pairs in,
+    * (doc_id, cluster) out) is the stable contract. Singleton docs (no
+    * candidate pair) are their own cluster and are omitted. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .cache()
+      val stable = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      val old = labels
+      labels = next
+      converged = stable
+      old.unpersist(blocking = false)
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the sum over tokens of
     * (+1 if bit b of hash(token) else -1) is positive. The token-hash array
     * is bound once (same CollapseProject boundary as [[shingleHashes]]). */
