@@ -198,6 +198,20 @@ object SparkEntry {
     }),
     "ann_lsh_hist" -> ((s, dir) =>
       AnnOps.bucketHistogram(tbl(s, dir, "embeddings"), nBits = 8)),
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      AnnOps.lshTopKMultiProbe(emb, q, excludeId = 0L, k = 5, nBits = 8)
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      AnnOps.ivfTopK(emb, q, excludeId = 0L, k = 5, nList = 16, nProbe = 4)
+    }),
+    "ann_ivf_hist" -> ((s, dir) =>
+      AnnOps.ivfListSizes(tbl(s, dir, "embeddings"), nList = 16)),
 
     "ann_vector_groups" -> ((s, dir) =>
       AnnOps.exactVectorDups(tbl(s, dir, "embeddings"), minCopies = 1)),
@@ -232,6 +246,23 @@ object SparkEntry {
     s"WITH dict(term, cls, curie, pfx, pascal) AS (VALUES $dictValues)"
 
   private val tokHash = "('0x'||substr(md5(w),1,14))::BIGINT"
+
+  /** Shared CTE chain for the IVF oracles: quantized vectors `e`,
+    * deterministic centroids `c` (vec_ids 1..16), per-vector centroid
+    * ranking `rn`, list assignment `asn` (argmax cosine, ties -> lowest
+    * cid — exactly AnnOps.ivfAssign's fold). */
+  private val ivfCtes: String =
+    """e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id BETWEEN 1 AND 16),
+      |cs AS (SELECT e.vec_id, e.label, e.q, c.cid,
+      |    list_dot_product(e.q, c.cq) /
+      |      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cos
+      |  FROM e CROSS JOIN c),
+      |rn AS (SELECT vec_id, label, q, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r FROM cs),
+      |asn AS (SELECT vec_id, label, q, cid FROM rn WHERE r = 1)""".stripMargin
 
   /** Shared CTE chain producing the capped LSH candidate pairs `cand`
     * (used by both the candidate oracle and the cluster oracle). */
@@ -552,6 +583,50 @@ object SparkEntry {
         | count(*) AS n
         |FROM embeddings GROUP BY 1""".stripMargin,
 
+    "ann_lsh_multiprobe" ->
+      """WITH qb AS (SELECT
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |   + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |   + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS qbucket,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, label,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |   + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |   + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ee
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(ee, qe) /
+        |    (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+        |FROM e, qb
+        |WHERE e.bucket = qb.qbucket
+        |   OR xor(CAST(e.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))
+        |        IN (1, 2, 4, 8, 16, 32, 64, 128)
+        |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $ivfCtes,
+         |probes AS (SELECT cid FROM rn WHERE vec_id = 0 AND r <= 4),
+         |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0)
+         |SELECT s.vec_id, s.label,
+         |  round(list_dot_product(s.q, qv.qq) /
+         |    (sqrt(list_dot_product(s.q, s.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |FROM asn s JOIN probes p ON s.cid = p.cid, qv
+         |WHERE s.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_ivf_hist" ->
+      s"""WITH $ivfCtes
+         |SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n FROM asn GROUP BY cid""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |  (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END

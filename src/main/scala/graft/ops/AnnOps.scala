@@ -68,6 +68,75 @@ object AnnOps {
       queryVec, excludeId, k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Quantize a double (already ×1 scale) embedding component the way the
+    * engine-portable oracle does: round-half-away-from-zero milli-units. */
+  private def quantD(x: Double): Long = {
+    val v = x * 1000.0
+    if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+  }
+
+  /** Deterministic IVF coarse quantizer: the centroid set is the quantized
+    * embeddings of vec_ids 1..nList (a seeded k-means init — no training
+    * iterations, so the structure is reproducible across engines and runs;
+    * swap in trained centroids without touching the search path).
+    * Returns (cid, quantized vector, norm). */
+  def ivfCentroids(embeddings: DataFrame, nList: Int = 16): Array[(Int, Array[Long], Double)] =
+    embeddings.filter(col("vec_id").between(1, nList))
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(f => quantD(f.toDouble)).toArray
+        (r.getLong(0).toInt, q, math.sqrt(q.map(x => x.toDouble * x).sum))
+      }
+
+  /** IVF list assignment: each vector goes to its max-cosine centroid
+    * (ties -> lowest cid). The per-centroid cosines are codegen'd
+    * [[graft.functions.QuantizedCosine]] columns bound once in their own
+    * projection; the argmax is a fold over the bound columns. Adds
+    * `ivf_cid`. At scale this is the partition key: each list is written
+    * as its own partition and a query touches only nProbe of them. */
+  def ivfAssign(embeddings: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val cosCols = cents.map { case (cid, cq, cn) =>
+      column(graft.functions.QuantizedCosine(expression(col("embedding")), cq, cn)).as(s"_c$cid")
+    }
+    val withCos = embeddings.select(col("*") +: cosCols.toSeq: _*)
+    val (bestCid, _) = cents.tail.foldLeft(
+      (lit(cents.head._1), col(s"_c${cents.head._1}"))
+    ) { case ((bi, bc), (cid, _, _)) =>
+      val c = col(s"_c$cid")
+      (when(c > bc, lit(cid)).otherwise(bi), when(c > bc, c).otherwise(bc))
+    }
+    withCos.withColumn("ivf_cid", bestCid)
+      .drop(cents.map(c => s"_c${c._1}").toSeq: _*)
+  }
+
+  /** IVF list-size histogram: (cid, n) — the balance audit. */
+  def ivfListSizes(embeddings: DataFrame, nList: Int = 16): DataFrame =
+    ivfAssign(embeddings, ivfCentroids(embeddings, nList))
+      .groupBy(col("ivf_cid").as("cid")).agg(count(lit(1)).as("n"))
+
+  /** IVF-pruned top-k: rank centroids by query cosine (driver-side, exact
+    * quantized arithmetic), search only the nProbe nearest lists —
+    * candidates ≈ corpus × nProbe/nList. Recall < 1 by design (vectors
+    * assigned to unprobed lists are missed); raise nProbe to trade cost
+    * for recall. */
+  def ivfTopK(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long, k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(embeddings, nList)
+    val qq = queryVec.map(quantD)
+    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
+    val probes = cents.map { case (cid, cq, cn) =>
+      val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
+      (cid, dot.toDouble / (qNorm * cn))
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    val pruned = ivfAssign(embeddings, cents)
+      .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
+    cosineTopK(pruned, queryVec, excludeId, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member of the
     * dedup family: candidate pairs come from sign-bucket equality (one
     * groupBy, no all-pairs; same cap discipline as the MinHash LSH path:
@@ -97,6 +166,20 @@ object AnnOps {
     pairs.select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= minCos)
+  }
+
+  /** Multi-probe sign-LSH top-k: search the query's bucket plus every
+    * bucket at Hamming distance 1 (one sign flipped) — the standard recall
+    * repair for vectors near a sign boundary, at (nBits+1)× the single-
+    * bucket candidate cost (still corpus/2^nBits per probe; no extra hash
+    * tables needed). */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long,
+      k: Int, nBits: Int = 8): DataFrame = {
+    val qBucket = (0 until nBits).map(j => if (queryVec(j) > 0) 1L << j else 0L).sum
+    val probes = qBucket +: (0 until nBits).map(j => qBucket ^ (1L << j))
+    cosineTopK(
+      embeddings.filter(signBucket(col("embedding"), nBits).isin(probes.map(Long.box): _*)),
+      queryVec, excludeId, k)
   }
 
   /** Exact duplicate embeddings (quantized-equal vectors): one hash-agg on
