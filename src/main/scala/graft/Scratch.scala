@@ -36,6 +36,9 @@ object Scratch {
     t("jaccard2")(SparkEntry.queries("dedup_jaccard")(spark, sfDir).count())
     t("lsh_cand")(SparkEntry.queries("dedup_lsh_candidates")(spark, sfDir).count())
     t("minhash")(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count())
+    t("ivf_topk")(SparkEntry.queries("ann_ivf_topk")(spark, sfDir).count())
+    t("ivf_hist")(SparkEntry.queries("ann_ivf_hist")(spark, sfDir).count())
+    t("clusters")(SparkEntry.queries("dedup_clusters")(spark, sfDir).count())
     SparkEntry.queries("ann_cosine_topk")(spark, sfDir).explain("formatted")
     Runtime.getRuntime.halt(0)
   }

@@ -99,18 +99,19 @@ object AnnOps {
     * as its own partition and a query touches only nProbe of them. */
   def ivfAssign(embeddings: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val cosCols = cents.map { case (cid, cq, cn) =>
-      column(graft.functions.QuantizedCosine(expression(col("embedding")), cq, cn)).as(s"_c$cid")
-    }
-    val withCos = embeddings.select(col("*") +: cosCols.toSeq: _*)
-    val (bestCid, _) = cents.tail.foldLeft(
-      (lit(cents.head._1), col(s"_c${cents.head._1}"))
-    ) { case ((bi, bc), (cid, _, _)) =>
-      val c = col(s"_c$cid")
-      (when(c > bc, lit(cid)).otherwise(bi), when(c > bc, c).otherwise(bc))
-    }
-    withCos.withColumn("ivf_cid", bestCid)
-      .drop(cents.map(c => s"_c${c._1}").toSeq: _*)
+    // all nList cosines in ONE bound array column, argmax via
+    // array_position(cs, array_max(cs)) — first occurrence = lowest cid on
+    // ties. NOT a when-chain fold: each fold step embeds the previous
+    // accumulator expression twice, which duplicates the tree exponentially
+    // in nList (measured: 569s at 2000x16 before this shape)
+    val cosArr = array(cents.map { case (_, cq, cn) =>
+      column(graft.functions.QuantizedCosine(expression(col("embedding")), cq, cn))
+    }.toSeq: _*)
+    val cidArr = typedLit(cents.map(_._1).toSeq)
+    embeddings.select(col("*"), cosArr.as("_cs"))
+      .withColumn("ivf_cid",
+        element_at(cidArr, array_position(col("_cs"), array_max(col("_cs"))).cast("int")))
+      .drop("_cs")
   }
 
   /** IVF list-size histogram: (cid, n) — the balance audit. */
