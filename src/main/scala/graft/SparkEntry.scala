@@ -177,6 +177,7 @@ object SparkEntry {
 
     // -- training-data ops: text analysis --
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "text_tokens_bpe" -> ((s, dir) => TextOps.bpeTokenCounts(tbl(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScores(tbl(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(tbl(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
@@ -476,6 +477,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
         | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

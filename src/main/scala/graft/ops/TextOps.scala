@@ -28,6 +28,18 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"),
     )
 
+  /** BPE-style pre-tokenization count — the GPT-2-ish splitter shape
+    * (letter runs, digit runs, punctuation runs, each with an optional
+    * leading space; no lookarounds, so the pattern is portable between
+    * Java regex and DuckDB's RE2): (doc_id, n_bpe). The real byte-pair
+    * merge table is model-specific; the pre-tokenizer is the part a data
+    * pipeline counts with. */
+  def bpeTokenCounts(documents: DataFrame): DataFrame = {
+    val pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"))
+  }
+
   /** Quality metrics: token stats, stopword ratio, mean token length
     * (space-separated text => sum(len) = chars - (tokens-1)), and a simple
     * quality class. Ratios are single divisions of exact longs —
