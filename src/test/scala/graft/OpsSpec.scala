@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnOps, DedupOps}
+
+/** Unit semantics of the round-2 dedup/ANN operators (the oracle gate
+  * checks end-to-end parity; these pin the edge cases). */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("dedupClusters: chains merge to the component-min keeper") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; singleton 99 absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters: converges on a cycle and a star") {
+    val pairs = Seq((5L, 6L), (6L, 7L), (5L, 7L), (1L, 8L), (1L, 9L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out(5L) == 5L && out(6L) == 5L && out(7L) == 5L)
+    assert(out(8L) == 1L && out(9L) == 1L && out(1L) == 1L)
+  }
+
+  test("lshCandidates respects the bucket-size cap") {
+    // 3 identical docs + 1 distinct: all three share every band bucket
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "x y z w q")).toDF("doc_id", "text")
+    val all = DedupOps.lshCandidates(docs, n = 2, k = 8, r = 4, maxBucket = 64)
+    assert(all.count() == 3) // (1,2),(1,3),(2,3)
+    val capped = DedupOps.lshCandidates(docs, n = 2, k = 8, r = 4, maxBucket = 2)
+    assert(capped.count() == 0) // the 3-member bucket is skipped entirely
+  }
+
+  test("cosineNearDupPairs finds identical vectors at the near-dup threshold") {
+    val emb = Seq(
+      (1L, "a", Seq(0.5f, 0.5f, 0.1f, 0.2f)),
+      (2L, "b", Seq(0.5f, 0.5f, 0.1f, 0.2f)),   // exact dup of 1
+      (3L, "c", Seq(-0.5f, -0.5f, -0.1f, -0.2f)), // different sign bucket
+      (4L, "d", Seq(0.9f, 0.1f, 0.3f, 0.4f)),
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = AnnOps.cosineNearDupPairs(emb, minCos = 0.99, nBits = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("ivfAssign is the exact argmax (matches brute-force per row)") {
+    val emb = (0L until 40L).map { i =>
+      (i, s"v$i", (0 until 8).map(j =>
+        (((i * 31 + j * 17) % 19).toFloat - 9f) / 10f))
+    }.toDF("vec_id", "label", "embedding")
+    val cents = AnnOps.ivfCentroids(emb, nList = 4)
+    val assigned = AnnOps.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("ivf_cid"))
+      .collect()
+    def quant(x: Float): Long = {
+      val v = x.toDouble * 1000.0
+      if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+    }
+    assigned.foreach { r =>
+      val q = r.getSeq[Float](1).map(quant)
+      val best = cents.map { case (cid, cq, cn) =>
+        val dot = q.zip(cq).map { case (a, b) => a * b }.sum
+        (cid, dot.toDouble / (math.sqrt(q.map(x => x.toDouble * x).sum) * cn))
+      }.minBy { case (cid, cos) => (-cos, cid) }._1
+      assert(r.getInt(2) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("multi-probe LSH is a superset of the single-bucket search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val single = AnnOps.lshTopK(emb, q, 0L, k = 50, nBits = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = AnnOps.lshTopKMultiProbe(emb, q, 0L, k = 50, nBits = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi) || multi.size == 50) // probe set ⊇ bucket
+  }
+}
