@@ -62,9 +62,12 @@ object Bench {
     // a real 4x-machines cluster adds bandwidth with cores, this VM does
     // not, so the honest N->4N pair stays below the wall. The 8->32 pair
     // and the full-width throughput are reported alongside (kg_sec_full).
+    // default pair is always a valid (N, 4N): hi derived as 4*lo (cpus/2
+    // would violate the invariant on 12- or 20-core hosts); the require
+    // guards only the explicit env-var override
     val levels = sys.env.get("SPARK_GRAFT_SCALE_LEVELS")
       .map(_.split(",").map(_.trim.toInt))
-      .getOrElse(Array(math.max(1, cpus / 8), math.max(4, cpus / 2)))
+      .getOrElse { val lo = math.max(1, cpus / 8); Array(lo, 4 * lo) }
     require(levels.length == 2 && levels(1) == 4 * levels(0),
       s"scale levels must be (N, 4N); got ${levels.mkString(",")}")
     val (lo, hi) = (levels(0), levels(1))

@@ -29,8 +29,10 @@ object RdfXmlLite {
   def parse(xml: String, fallbackBase: String = ""): TtlDoc = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
-    // no DTD/entity resolution: ontology files are plain; also avoids XXE
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+    // no DTDs at all: blocks file-read XXE AND internal-entity expansion
+    // (billion-laughs) on untrusted OWL input; every supported fixture is
+    // DTD-free, and a file that does carry one fails loudly here
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
     dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     val doc = dbf.newDocumentBuilder()

@@ -69,7 +69,7 @@ object DedupOps {
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val result = pairs
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
@@ -77,6 +77,12 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+      // eager local checkpoint: the (small, minJ-filtered) result is
+      // materialized once so the shingle cache can be released here —
+      // repeated invocations no longer leak executor storage memory
+      .localCheckpoint()
+    allSh.unpersist(blocking = false)
+    result
   }
 
   /** Per-document shingle-hash array — materialized ONCE in its own
@@ -153,38 +159,80 @@ object DedupOps {
   /** Connected-component cluster assignment over candidate pairs: every doc
     * that appears in a pair maps to its component's smallest doc_id (the
     * canonical keeper — the distributed form of the reference's first-wins
-    * dedup applied to near-duplicate clusters). Iterative min-label
-    * propagation with a convergence check; iterations are bounded by the
-    * component diameter, and near-dup clusters are shallow by construction
-    * (every member shares a bucket with the seed). For adversarial deep
-    * chains at 100 TB swap in large-star/small-star — the API (pairs in,
-    * (doc_id, cluster) out) is the stable contract. Singleton docs (no
-    * candidate pair) are their own cluster and are omitted. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .cache()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("cluster"))
-      val next = labels.union(prop)
-        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .cache()
-      val stable = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).isEmpty
-      val old = labels
-      labels = next
-      converged = stable
-      old.unpersist(blocking = false)
-      i += 1
+    * dedup applied to near-duplicate clusters). Singleton docs (no candidate
+    * pair) are their own cluster and are omitted.
+    *
+    * Algorithm: alternating large-star/small-star (Kiveris et al., MapReduce
+    * connected components) — each round halves path lengths toward the
+    * component min, so rounds are O(log n) in the component size even on
+    * adversarial chains (web-scale boilerplate families), vs O(diameter)
+    * for plain min-label propagation. Each round is two join+agg jobs over
+    * the (shrinking-toward-star) edge set, eagerly `localCheckpoint`ed so
+    * lineage stays one round deep and the convergence fingerprint is a
+    * cheap local re-scan; superseded round RDDs are reclaimed by the
+    * context cleaner. Convergence = the edge set's (count, hash-xor)
+    * fingerprint is unchanged — at that fixed point the edges form stars
+    * (u, componentMin). */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    dedupClustersStats(pairs, maxIter)._1
+
+  /** [[dedupClusters]] plus the number of large-star/small-star rounds run
+    * (spec hook for the O(log n) convergence bound). */
+  def dedupClustersStats(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical orientation big -> small; the star edges keep it throughout
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // set fingerprint: row count + XOR of per-edge hashes (order-independent,
+    // overflow-free under ANSI; the edge set is distinct so XOR cannot cancel)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    edges.unpersist(blocking = false)
-    labels
+
+    // large-star: connect every neighbor v > u to m(u) = min(N(u) ∪ {u}).
+    // Shape: one groupBy for the per-node min + one equi-join back — no
+    // collect_list, so a hub node never materializes its neighbor list.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val bidir = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = bidir.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      bidir.filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: connect every smaller neighbor (and u itself) to
+    // m(u) = min of u's smaller neighbors. Input/output oriented src > dst.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val moved = edges.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      moved.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+    }
+
+    var fp = fingerprint(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      rounds += 1
+    }
+    val labels = e.select(col("src").as("doc_id"), col("dst").as("cluster"))
+      .union(e.select(col("dst").as("doc_id"), col("dst").as("cluster")).distinct())
+      .distinct()
+    (labels, rounds)
   }
 
   /** 16-bit SimHash over token hashes: bit b set iff the sum over tokens of

@@ -22,13 +22,20 @@ final class NetworkxSink(
 
   private def graphDir = s"$outDir/networkx_graph"
 
+  // The reference accumulates all write calls into one nx.DiGraph before
+  // pickling, so successive calls must ACCUMULATE here too: append mode
+  // adds part files to the fixed schema instead of clobbering a prior
+  // call's output (writeRelAsNodes' connector edges previously overwrote
+  // plain edges within a single KgSession.writeEdges).
+
   def writeNodes(nodes: Dataset[KgNode]): Unit = {
-    val frames = Tables.nodeFrames(ctx, nodes)
+    val (frames, base) = Tables.nodeFramesWithHandle(ctx, nodes)
     val all = frames.values.map(df => df.select(col("node_id"), col("node_label"),
       to_json(struct(df.columns.filterNot(Set("node_id", "node_label")).map(col): _*))
         .as("attrs")))
     if (all.nonEmpty)
-      all.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$graphDir/nodes.parquet")
+      all.reduce(_ unionByName _).write.mode("append").parquet(s"$graphDir/nodes.parquet")
+    base.unpersist(blocking = false)
   }
 
   def writeEdges(edges: Dataset[KgEdge]): Unit =
@@ -36,7 +43,7 @@ final class NetworkxSink(
       col("src").as("source_id"),
       col("tgt").as("target_id"),
       col("label").as("relationship_label"),
-    ).write.mode("overwrite").parquet(s"$graphDir/edges.parquet")
+    ).write.mode("append").parquet(s"$graphDir/edges.parquet")
 
   def writeRelAsNodes(ds: Dataset[RelAsNode]): Unit = {
     val spark = ds.sparkSession

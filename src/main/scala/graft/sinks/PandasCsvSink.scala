@@ -32,33 +32,49 @@ final class PandasCsvSink(
 
   private def writeFrame(entityType: String, df: DataFrame, orderCol: String): Unit = {
     val stem = fileStem(entityType)
+    val target = Paths.get(outDir, s"$stem.csv")
+    // accumulate across calls like the reference's growing pandas frame:
+    // session dedup makes each call's rows disjoint, so a second write of
+    // the same type APPENDS (header skipped, index continued) instead of
+    // silently replacing the earlier rows
+    val existingRows =
+      if (Files.exists(target))
+        math.max(0L, Files.lines(target).count() - 1) // minus header line
+      else 0L
     // pandas to_csv writes the index as an unnamed leading column
     // (read back with index_col=0)
     val w = Window.orderBy(col(orderCol))
-    val indexed = df.withColumn("", row_number().over(w) - 1)
+    val indexed = df.withColumn("", row_number().over(w) - 1 + existingRows)
       .select(col("") +: df.columns.map(col): _*)
     val tmp = Files.createTempDirectory("graft-csv-").toString
     indexed.coalesce(1).write.mode("overwrite")
-      .option("header", "true").option("sep", delimiter).csv(tmp)
+      .option("header", existingRows == 0).option("sep", delimiter).csv(tmp)
     val out = Paths.get(outDir)
     Files.createDirectories(out)
     import scala.jdk.CollectionConverters._
     Files.list(Paths.get(tmp)).iterator().asScala
       .find(_.getFileName.toString.startsWith("part-"))
-      .foreach(f => Files.move(f, out.resolve(s"$stem.csv"),
-        StandardCopyOption.REPLACE_EXISTING))
+      .foreach { f =>
+        if (existingRows == 0)
+          Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+        else
+          Files.write(target, Files.readAllBytes(f),
+            java.nio.file.StandardOpenOption.APPEND)
+      }
     stored += entityType -> stem
   }
 
-  def writeNodes(nodes: Dataset[KgNode]): Unit =
-    Tables.nodeFrames(ctx, nodes).foreach { case (label, df) =>
-      writeFrame(label, df, "node_id")
-    }
+  def writeNodes(nodes: Dataset[KgNode]): Unit = {
+    val (frames, base) = Tables.nodeFramesWithHandle(ctx, nodes)
+    frames.foreach { case (label, df) => writeFrame(label, df, "node_id") }
+    base.unpersist(blocking = false)
+  }
 
-  def writeEdges(edges: Dataset[KgEdge]): Unit =
-    Tables.edgeFrames(ctx, edges).foreach { case (label, df) =>
-      writeFrame(label, df, "source_id")
-    }
+  def writeEdges(edges: Dataset[KgEdge]): Unit = {
+    val (frames, base) = Tables.edgeFramesWithHandle(ctx, edges)
+    frames.foreach { case (label, df) => writeFrame(label, df, "source_id") }
+    base.unpersist(blocking = false)
+  }
 
   def writeRelAsNodes(ds: Dataset[RelAsNode]): Unit = {
     val spark = ds.sparkSession

@@ -16,29 +16,47 @@ import graft.model._
 object Tables {
 
   /** Pivot a node Dataset into per-label DataFrames with one column per
-    * declared (or first-row) property. */
-  def nodeFrames(ctx: KgContext, nodes: Dataset[KgNode]): ListMap[String, DataFrame] = {
+    * declared (or first-row) property.
+    *
+    * Scale shape: layout discovery is ONE job — a single
+    * `groupBy(label).agg(first(props))` pass yields both the label list and
+    * the first-row layouts for schema-undeclared labels (the previous
+    * per-label `filter + head()` loop ran N full scans for N labels, an
+    * anti-pattern at hundreds of labels). The returned frames are lazy
+    * filters over one persisted projection, so materializing all of them
+    * costs one cached scan, not N table scans. Callers that fully
+    * materialize should use [[nodeFramesWithHandle]] and unpersist the
+    * handle when done. */
+  def nodeFrames(ctx: KgContext, nodes: Dataset[KgNode]): ListMap[String, DataFrame] =
+    nodeFramesWithHandle(ctx, nodes)._1
+
+  /** [[nodeFrames]] plus the persisted base the frames read from — callers
+    * that consume every frame eagerly should unpersist it afterwards. */
+  def nodeFramesWithHandle(ctx: KgContext, nodes: Dataset[KgNode])
+      : (ListMap[String, DataFrame], DataFrame) = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val labels = nodes.select("label").distinct().as[String].collect().sorted
-    ListMap(labels.map { label =>
-      val sub = nodes.filter(col("label") === label)
+    // one pass: label list + first encountered props per label (layout for
+    // labels the schema does not declare)
+    val firsts: Map[String, Seq[Prop]] =
+      nodes.groupBy(col("label")).agg(first(col("props")).as("props"))
+        .as[(String, Seq[Prop])].collect().toMap
+    val labels = firsts.keys.toSeq.sorted
+    val base = nodes.select(
+      col("id").as("node_id"),
+      col("label").as("node_label"),
+      map_from_entries(transform(col("props"),
+        p => struct(p.getField("k"), coalesce(p.getField("v").getField("s"),
+          array_join(p.getField("v").getField("arr"), "|"))))).as("_p"),
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frames = ListMap(labels.map { label =>
       // declared props + the injected id/preferred_id (reference frames
       // carry them: json_normalize of the full property dict)
       val keys: Seq[(String, String)] = ctx.spec(label).map(_.properties.toSeq).filter(_.nonEmpty)
         .map(_ ++ Seq("id" -> "str", "preferred_id" -> "str"))
-        .getOrElse {
-          sub.select(col("props")).as[Seq[Prop]].head() // first row defines layout
-            .map(p => p.k -> p.v.t)
-        }
-      val base = sub.select(
-        col("id").as("node_id"),
-        col("label").as("node_label"),
-        map_from_entries(transform(col("props"),
-          p => struct(p.getField("k"), coalesce(p.getField("v").getField("s"),
-            array_join(p.getField("v").getField("arr"), "|"))))).as("_p"),
-      )
-      val withProps = keys.foldLeft(base) { case (df, (k, t)) =>
+        .getOrElse(firsts(label).map(p => p.k -> p.v.t))
+      val sub = base.filter(col("node_label") === label)
+      val withProps = keys.foldLeft(sub) { case (df, (k, t)) =>
         val raw = element_at(col("_p"), k)
         val typed = t match {
           case "int" | "long" | "integer"             => raw.cast("long")
@@ -50,21 +68,28 @@ object Tables {
       }
       label -> withProps.drop("_p")
     }: _*)
+    (frames, base)
   }
 
-  def edgeFrames(ctx: KgContext, edges: Dataset[KgEdge]): ListMap[String, DataFrame] = {
+  def edgeFrames(ctx: KgContext, edges: Dataset[KgEdge]): ListMap[String, DataFrame] =
+    edgeFramesWithHandle(ctx, edges)._1
+
+  /** Same one-persisted-projection shape as [[nodeFramesWithHandle]]. */
+  def edgeFramesWithHandle(ctx: KgContext, edges: Dataset[KgEdge])
+      : (ListMap[String, DataFrame], DataFrame) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val labels = edges.select("label").distinct().as[String].collect().sorted
-    ListMap(labels.map { label =>
-      val sub = edges.filter(col("label") === label)
-      label -> sub.select(
-        col("relId").as("relationship_id"),
-        col("src").as("source_id"),
-        col("tgt").as("target_id"),
-        col("label").as("relationship_label"),
-      )
+    val base = edges.select(
+      col("relId").as("relationship_id"),
+      col("src").as("source_id"),
+      col("tgt").as("target_id"),
+      col("label").as("relationship_label"),
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = base.select("relationship_label").distinct().as[String].collect().sorted
+    val frames = ListMap(labels.map { label =>
+      label -> base.filter(col("relationship_label") === label)
     }: _*)
+    (frames, base)
   }
 
   /** Per-label entity counts + schema presence — the schema-info reflection
