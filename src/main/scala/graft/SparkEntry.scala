@@ -248,22 +248,47 @@ object SparkEntry {
 
   private val tokHash = "('0x'||substr(md5(w),1,14))::BIGINT"
 
-  /** Shared CTE chain for the IVF oracles: quantized vectors `e`,
-    * deterministic centroids `c` (vec_ids 1..16), per-vector centroid
-    * ranking `rn`, list assignment `asn` (argmax cosine, ties -> lowest
-    * cid — exactly AnnOps.ivfAssign's fold). */
-  private val ivfCtes: String =
-    """e AS (SELECT vec_id, label,
+  /** Shared CTE chain for the IVF oracles: quantized vectors `e`, seeded
+    * init centroids `c0` (vec_ids 1..16), then `IvfIters` k-means
+    * iterations replaying AnnOps.ivfTrainCentroids EXACTLY in SQL — per
+    * iteration: argmax-cosine assignment (ties -> lowest cid), component-
+    * wise round-half-away mean (DuckDB `round()` = the Scala rhaz), empty
+    * lists keep the previous centroid via COALESCE. Final `rn`/`asn` are
+    * the assignment against the trained centroids. */
+  private val IvfIters = 2
+
+  private def ivfCosine(q: String, cq: String): String =
+    s"list_dot_product($q, $cq) / (sqrt(list_dot_product($q, $q)) * sqrt(list_dot_product($cq, $cq)))"
+
+  private lazy val ivfCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """e AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id BETWEEN 1 AND 16),
-      |cs AS (SELECT e.vec_id, e.label, e.q, c.cid,
-      |    list_dot_product(e.q, c.cq) /
-      |      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cos
-      |  FROM e CROSS JOIN c),
+      |c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id BETWEEN 1 AND 16)""".stripMargin
+    for (t <- 0 until IvfIters) {
+      sb ++= s""",
+        |cs$t AS (SELECT e.vec_id, e.q, c.cid, ${ivfCosine("e.q", "c.cq")} AS cos
+        |  FROM e CROSS JOIN c$t c),
+        |rn$t AS (SELECT vec_id, q, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r FROM cs$t),
+        |asn$t AS (SELECT vec_id, q, cid FROM rn$t WHERE r = 1),
+        |ux$t AS (SELECT cid, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM asn$t),
+        |um$t AS (SELECT cid, pos,
+        |    CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        |  FROM ux$t GROUP BY cid, pos),
+        |cn$t AS (SELECT cid, list(cx ORDER BY pos) AS cq FROM um$t GROUP BY cid),
+        |c${t + 1} AS (SELECT c.cid, COALESCE(n.cq, c.cq) AS cq
+        |  FROM c$t c LEFT JOIN cn$t n ON c.cid = n.cid)""".stripMargin
+    }
+    sb ++= s""",
+      |cs AS (SELECT e.vec_id, e.label, e.q, c.cid, ${ivfCosine("e.q", "c.cq")} AS cos
+      |  FROM e CROSS JOIN c$IvfIters c),
       |rn AS (SELECT vec_id, label, q, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r FROM cs),
       |asn AS (SELECT vec_id, label, q, cid FROM rn WHERE r = 1)""".stripMargin
+    sb.toString
+  }
 
   /** Shared CTE chain producing the capped LSH candidate pairs `cand`
     * (used by both the candidate oracle and the cluster oracle). */

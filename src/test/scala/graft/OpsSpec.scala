@@ -27,6 +27,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8L) == 1L && out(9L) == 1L && out(1L) == 1L)
   }
 
+  test("dedupClusters: 1000-doc chain converges in O(log n) rounds") {
+    // adversarial diameter-999 chain: min-label propagation would need ~999
+    // rounds; large-star/small-star must stay logarithmic
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = DedupOps.dedupClustersStats(pairs)
+    assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
+    val m = out.as[(Long, Long)].collect().toMap
+    assert(m.size == 1000)
+    assert(m.values.forall(_ == 0L))
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     // 3 identical docs + 1 distinct: all three share every band bucket
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
@@ -71,6 +82,33 @@ class OpsSpec extends AnyFunSuite {
       }.minBy { case (cid, cos) => (-cos, cid) }._1
       assert(r.getInt(2) == best, s"vec ${r.getLong(0)}")
     }
+  }
+
+  test("trained IVF centroids balance the lists (k-means moves the init)") {
+    // two tight clusters of 20 vectors each around (1,0,..) and (0,1,..);
+    // seeded init takes vec_ids 1,2 (both inside cluster A), so untrained
+    // lists are skewed; after 2 k-means iterations each centroid owns one
+    // cluster and the max/min list ratio collapses
+    val mk = (base: Seq[Double], i: Int) =>
+      base.map(x => (x + 0.001 * i).toFloat)
+    val a = (0 until 20).map(i => (i.toLong + 1, "a", mk(Seq(1.0, 0.0, 0.1, 0.0), i)))
+    val b = (0 until 20).map(i => (i.toLong + 21, "b", mk(Seq(0.0, 1.0, 0.0, 0.1), i)))
+    val emb = (a ++ b).toDF("vec_id", "label", "embedding")
+    val trained = AnnOps.ivfTrainCentroids(emb, nList = 2, iters = 2)
+    val init = AnnOps.ivfCentroids(emb, nList = 2)
+    assert(trained.map(_._2.toSeq) != init.map(_._2.toSeq), "training must move the centroids")
+    def ratio(cents: Array[(Int, Array[Long], Double)]): Double = {
+      val sizes = AnnOps.ivfAssign(emb, cents)
+        .groupBy("ivf_cid").count().as[(Int, Long)].collect().toMap
+      val counts = Seq(1, 2).map(c => sizes.getOrElse(c, 0L)) // cids = init vec_ids
+      counts.max.toDouble / math.max(1L, counts.min)
+    }
+    // untrained: both init centroids sit inside cluster A -> skewed split;
+    // training must strictly improve balance and land near 50/50
+    val (trainedRatio, initRatio) = (ratio(trained), ratio(init))
+    assert(initRatio > 1.5, s"init should be skewed, got $initRatio")
+    assert(trainedRatio < initRatio && trainedRatio <= 1.5,
+      s"expected balanced lists after training, got $trainedRatio vs init $initRatio")
   }
 
   test("multi-probe LSH is a superset of the single-bucket search") {
