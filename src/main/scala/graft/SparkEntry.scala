@@ -221,6 +221,10 @@ object SparkEntry {
       // (0.3) rather than near-dup (the operator default 0.99 would be
       // vacuously empty here); the plan shape is identical
       AnnOps.cosineNearDupPairs(tbl(s, dir, "embeddings"), minCos = 0.3)),
+    "dedup_embedding_mp" -> ((s, dir) =>
+      // two-table recall repair over disjoint dimension slices; superset of
+      // dedup_embedding's single-table pairs
+      AnnOps.cosineNearDupPairsMulti(tbl(s, dir, "embeddings"), minCos = 0.3, tables = 2)),
 
     // -- multimodal plumbing --
     "mm_media_meta" -> ((s, dir) =>
@@ -676,6 +680,27 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.b = y.b AND x.vec_id < y.vec_id
         |WHERE round(list_dot_product(x.q,y.q) /
         |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) >= 0.3""".stripMargin,
+    "dedup_embedding_mp" -> {
+      def bucket(offset: Int): String = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${offset + j + 1}]>0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val cos = "round(list_dot_product(x.q,y.q) / " +
+        "(sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6)"
+      s"""WITH e AS (SELECT vec_id, ${bucket(0)} AS b0, ${bucket(8)} AS b1,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |e0 AS (SELECT vec_id, b0 AS b, q FROM e
+         |       QUALIFY count(*) OVER (PARTITION BY b0) <= 256),
+         |e1 AS (SELECT vec_id, b1 AS b, q FROM e
+         |       QUALIFY count(*) OVER (PARTITION BY b1) <= 256),
+         |cand AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $cos AS cosine
+         |  FROM e0 x JOIN e0 y ON x.b = y.b AND x.vec_id < y.vec_id
+         |  UNION
+         |  SELECT x.vec_id, y.vec_id, $cos
+         |  FROM e1 x JOIN e1 y ON x.b = y.b AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.3""".stripMargin
+    },
     "ann_vector_groups" ->
       """SELECT md5(to_json(list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)))) AS vh,

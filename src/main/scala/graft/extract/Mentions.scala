@@ -78,6 +78,62 @@ final case class DocMention(
   */
 object Mentions {
 
+  /** Default cap on distinct entities per document for co-occurrence pair
+    * emission. Pair output is quadratic in per-doc entities; against an
+    * open 10⁶-term dictionary a single entity-list page would otherwise
+    * emit millions of pairs. 256 keeps the worst doc at ≤32,640 pairs and
+    * is far above anything the demo dictionaries produce (22 terms), so
+    * capped and uncapped results agree on the oracle corpora. */
+  val DefaultMaxEntitiesPerDoc = 256
+
+  /** Minimal open-addressing set of longs (8 B per entry, power-of-two
+    * table) — backs the doc-run contiguity guard at one hash probe per
+    * run with no per-entry boxing. */
+  private final class LongHashSet(initCap: Int) {
+    private var mask = initCap - 1
+    private var table = new Array[Long](initCap)
+    private var used = new Array[Boolean](initCap)
+    private var n = 0
+    /** true iff v was newly added (false = already present). */
+    def add(v: Long): Boolean = {
+      var i = java.lang.Long.hashCode(v * -7046029254386353131L) & mask
+      while (used(i)) {
+        if (table(i) == v) return false
+        i = (i + 1) & mask
+      }
+      table(i) = v; used(i) = true; n += 1
+      if (n * 2 > mask) grow()
+      true
+    }
+    private def grow(): Unit = {
+      val (ot, ou) = (table, used)
+      mask = mask * 2 + 1
+      table = new Array[Long](mask + 1)
+      used = new Array[Boolean](mask + 1)
+      n = 0
+      var i = 0
+      while (i < ot.length) { if (ou(i)) add(ot(i)); i += 1 }
+    }
+  }
+
+  private def docHash(id: String): Long = {
+    // FNV-1a 64 — cheap, well-mixed; a collision (~n²/2⁶⁴) only makes the
+    // guard raise spuriously, never pass wrongly
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < id.length) { h ^= id.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Top-`cap` entity ranks by (score desc, rank asc) — the deterministic
+    * per-doc entity selection when a doc exceeds the pair-emission cap. */
+  private def topRanksByScore(ranks: Array[Int], scores: Array[Double], cap: Int): Array[Int] = {
+    val idx = ranks.indices.sortBy(i => (-scores(i), ranks(i))).take(cap)
+    val out = idx.map(ranks).toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
   def detect(docs: Dataset[Doc], bcDict: Broadcast[MentionDict]): Dataset[Mention] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Mention]
     docs.mapPartitions { it =>
@@ -146,12 +202,15 @@ object Mentions {
     * (src, tgt, n_docs). Replaces a 2x-sort self-join of the mention table
     * — at 1.5M docs the join took minutes, this takes seconds, and the
     * shuffle is O(distinct pairs), not O(docs x pairs). */
-  def cooccurrencePairs(docs: Dataset[Doc], bcDict: Broadcast[MentionDict]): DataFrame = {
+  def cooccurrencePairs(docs: Dataset[Doc], bcDict: Broadcast[MentionDict],
+      maxEntitiesPerDoc: Int = DefaultMaxEntitiesPerDoc): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val droppedDocs = spark.sparkContext.longAccumulator("cooccurrence_capped_docs")
+    val droppedEntities = spark.sparkContext.longAccumulator("cooccurrence_dropped_entities")
     val pairs = docs.mapPartitions { it =>
       val dict = bcDict.value
-      val seen = new Array[Boolean](dict.linkFor.length)
+      val counts = new Array[Long](dict.linkFor.length)
       val touched = new Array[Int](dict.linkFor.length)
       it.flatMap { doc =>
         // distinct entity RANKS per doc (curie lexicographic order preserved
@@ -162,16 +221,30 @@ object Mentions {
             val ms = dict.trie.findWholeWords(span.text)
             while (ms.hasNext) {
               val pi = ms.next()._2
-              if (!seen(pi)) { seen(pi) = true; touched(nTouched) = pi; nTouched += 1 }
+              if (counts(pi) == 0) { touched(nTouched) = pi; nTouched += 1 }
+              counts(pi) += 1
             }
           }
         }
-        val arr = new Array[Int](nTouched)
+        var arr = new Array[Int](nTouched)
+        val scores = new Array[Double](nTouched)
         var i = 0
         while (i < nTouched) {
-          arr(i) = dict.rankOf(touched(i)); seen(touched(i)) = false; i += 1
+          val pi = touched(i)
+          arr(i) = dict.rankOf(pi)
+          val e = dict.linkFor(pi)
+          scores(i) = e.prior * e.surface.length * counts(pi)
+          counts(pi) = 0
+          i += 1
         }
-        java.util.Arrays.sort(arr)
+        // pair-emission cap: an open-dictionary entity-list page would emit
+        // O(n²) pairs; keep the top-scored entities (deterministic
+        // tie-break by rank) and count the drop
+        if (nTouched > maxEntitiesPerDoc) {
+          droppedDocs.add(1)
+          droppedEntities.add(nTouched - maxEntitiesPerDoc)
+          arr = topRanksByScore(arr, scores, maxEntitiesPerDoc)
+        } else java.util.Arrays.sort(arr)
         for { a <- arr.indices.iterator; b <- (a + 1) until arr.length }
           yield (dict.byRank(arr(a)).curie, dict.byRank(arr(b)).curie)
       }
@@ -186,24 +259,50 @@ object Mentions {
     * re-running the trie, no shuffle before the final tiny aggregate.
     *
     * Contract: `dm` must come from [[detectPerDoc]] without an intervening
-    * shuffle (the doc-run contiguity invariant). Within a doc the curies
-    * are already distinct; lexicographic sort reproduces the a < b pair
-    * order of [[cooccurrencePairs]] exactly. */
-  def cooccurrencePairsFromDocMentions(dm: Dataset[DocMention]): DataFrame = {
+    * shuffle (the doc-run contiguity invariant). The contract is ENFORCED
+    * at runtime when `guard` is on (default): each partition tracks the
+    * hash of every doc-run it has closed (8 B per run) and raises if a
+    * doc_id reappears after its run ended — a re-shuffled input fails
+    * loudly instead of silently emitting wrong pairs. Within a doc the
+    * curies are already distinct; lexicographic sort reproduces the a < b
+    * pair order of [[cooccurrencePairs]] exactly, and the same
+    * `maxEntitiesPerDoc` cap applies (top score, curie tie-break). */
+  def cooccurrencePairsFromDocMentions(dm: Dataset[DocMention],
+      maxEntitiesPerDoc: Int = DefaultMaxEntitiesPerDoc,
+      guard: Boolean = true): DataFrame = {
     val spark = dm.sparkSession
     import spark.implicits._
+    val droppedDocs = spark.sparkContext.longAccumulator("cooccurrence_capped_docs")
     val pairs = dm.mapPartitions { it =>
       val base = it.buffered
+      val seenRuns = if (guard) new LongHashSet(1 << 16) else null
       new Iterator[(String, String)] {
         private var out: Iterator[(String, String)] = Iterator.empty
         private def advance(): Unit = {
           while (!out.hasNext && base.hasNext) {
             val docId = base.head.doc_id
-            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (base.hasNext && base.head.doc_id == docId) buf += base.next().curie
+            if (guard && !seenRuns.add(docHash(docId)))
+              throw new IllegalStateException(
+                s"doc-run contiguity violated: doc_id $docId reappeared after its run " +
+                  "ended — the DocMention dataset was shuffled between detectPerDoc " +
+                  "and pair emission (pass guard=false only if contiguity is certain)")
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+            while (base.hasNext && base.head.doc_id == docId) {
+              val m = base.next(); buf += ((m.curie, m.score))
+            }
             if (buf.length >= 2) {
-              val arr = buf.toArray
-              java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+              val arr: Array[String] =
+                if (buf.length > maxEntitiesPerDoc) {
+                  droppedDocs.add(1)
+                  val kept = buf.sortBy { case (c, s) => (-s, c) }
+                    .take(maxEntitiesPerDoc).map(_._1).toArray
+                  java.util.Arrays.sort(kept.asInstanceOf[Array[Object]])
+                  kept
+                } else {
+                  val a = buf.map(_._1).toArray
+                  java.util.Arrays.sort(a.asInstanceOf[Array[Object]])
+                  a
+                }
               out = for {
                 a <- arr.indices.iterator
                 b <- ((a + 1) until arr.length).iterator
@@ -219,17 +318,26 @@ object Mentions {
   }
 
   /** Distinct doc ids from an UNSHUFFLED DocMention dataset (same
-    * contiguity contract as [[cooccurrencePairsFromDocMentions]]): each doc
-    * is one contiguous run in exactly one partition, so emitting one id per
-    * run IS the global distinct — no 10⁶-key shuffle. */
-  def distinctDocIds(dm: Dataset[DocMention]): Dataset[String] = {
+    * contiguity contract — and runtime guard — as
+    * [[cooccurrencePairsFromDocMentions]]): each doc is one contiguous run
+    * in exactly one partition, so emitting one id per run IS the global
+    * distinct — no 10⁶-key shuffle. */
+  def distinctDocIds(dm: Dataset[DocMention], guard: Boolean = true): Dataset[String] = {
     val spark = dm.sparkSession
     import spark.implicits._
     dm.mapPartitions { it =>
+      val seenRuns = if (guard) new LongHashSet(1 << 16) else null
       var last: String = null
       it.flatMap { m =>
         if (m.doc_id == last) Iterator.empty
-        else { last = m.doc_id; Iterator.single(m.doc_id) }
+        else {
+          if (guard && !seenRuns.add(docHash(m.doc_id)))
+            throw new IllegalStateException(
+              s"doc-run contiguity violated: doc_id ${m.doc_id} reappeared after its " +
+                "run ended — the DocMention dataset was shuffled after detectPerDoc")
+          last = m.doc_id
+          Iterator.single(m.doc_id)
+        }
       }
     }
   }

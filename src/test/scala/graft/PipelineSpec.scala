@@ -96,6 +96,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(cooc.forall(e => e.src < e.tgt))
   }
 
+  test("contiguity guard: a shuffled DocMention dataset raises, contiguous passes") {
+    import graft.extract.DocMention
+    val contiguous = Seq(
+      DocMention("d1", "a", "c", "a", 1, 1.0), DocMention("d1", "b", "c", "b", 1, 1.0),
+      DocMention("d2", "a", "c", "a", 1, 1.0), DocMention("d2", "c", "c", "c", 1, 1.0),
+    )
+    val okDs = spark.createDataset(contiguous).coalesce(1)
+    assert(Mentions.cooccurrencePairsFromDocMentions(okDs).count() == 2)
+    assert(Mentions.distinctDocIds(okDs).count() == 2)
+    // interleaved runs: d1 reappears after its run ended
+    val shuffled = Seq(contiguous(0), contiguous(2), contiguous(1), contiguous(3))
+    val badDs = spark.createDataset(shuffled).coalesce(1)
+    def mentionsContiguity(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("contiguity") ||
+        mentionsContiguity(t.getCause))
+    val e1 = intercept[Exception] {
+      Mentions.cooccurrencePairsFromDocMentions(badDs).count()
+    }
+    assert(mentionsContiguity(e1))
+    val e2 = intercept[Exception] { Mentions.distinctDocIds(badDs).count() }
+    assert(mentionsContiguity(e2))
+    // opt-out keeps the old caller-asserted behavior (4 runs -> 4 emissions)
+    assert(Mentions.distinctDocIds(badDs, guard = false).count() == 4)
+  }
+
+  test("per-doc pair cap bounds co-occurrence emission on an entity-list doc") {
+    import graft.model.{Doc, Span}
+    // 1000-term dictionary, one doc mentioning every term: uncapped emission
+    // would be C(1000,2) = 499500 pairs; the cap keeps the top-256 entities
+    val entries = (0 until 1000).map(i =>
+      DictEntry(f"term$i%04d", f"e:$i%04d", "workload", prior = 1.0))
+    val dict = MentionDict.build(entries)
+    val bc = spark.sparkContext.broadcast(dict)
+    val text = (0 until 1000).map(i => f"term$i%04d").mkString(" ")
+    val docs = Seq(Doc("big", Seq(Span("text", text, null, 0)))).toDS()
+    val capped = Mentions.cooccurrencePairs(docs, bc)
+    assert(capped.count() == 256L * 255 / 2)
+    // equal scores -> deterministic tie-break keeps the lexicographically
+    // smallest curies (rank order)
+    val srcs = capped.select("src").distinct().as[String].collect()
+    assert(srcs.forall(_ <= "e:0255"))
+    val dm = Mentions.detectPerDoc(docs, bc).coalesce(1)
+    assert(Mentions.cooccurrencePairsFromDocMentions(dm).count() == 256L * 255 / 2)
+    // demo-sized docs are untouched by the cap
+    val small = Seq(Doc("s", Seq(Span("text", "term0001 term0002 term0003", null, 0)))).toDS()
+    assert(Mentions.cooccurrencePairs(small, bc).count() == 3)
+  }
+
   test("multimodal metadata plumbing is deterministic") {
     val docs = Corpus.synthesize(spark, 50, AnalyticsDomain.vocab)
     val meta = graft.ops.MultimodalOps.decodeMetadata(
