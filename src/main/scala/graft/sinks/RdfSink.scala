@@ -81,10 +81,14 @@ object RdfVocab extends Serializable {
   *    carrying the edge properties;
   *  - CURIE→URI resolution through configured namespaces ([[RdfVocab]]).
   *
-  * `format`: "nt" (canonical N-Triples; the scale-safe choice) or "ttl"
+  * `format`: "nt" (canonical N-Triples; the scale-safe choice), "ttl"
   * (same triples with pname compaction + an @prefix header prepended to
   * each committed part file — a driver-side per-file pass bounded by the
-  * batch size).
+  * batch size), or "xml" (RDF/XML for rdflib-format parity,
+  * `_rdf.py:174-184`: one self-contained `rdf:Description` element per
+  * statement line — RDF/XML allows repeated descriptions of a subject —
+  * wrapped per part file with the `<rdf:RDF>` document envelope in the
+  * same bounded per-file pass as the Turtle headers).
   */
 final class RdfSink(
     val ctx: KgContext,
@@ -93,7 +97,7 @@ final class RdfSink(
     userNamespaces: Map[String, String] = Map.empty,
 ) extends EntitySink {
 
-  require(format == "nt" || format == "ttl", s"unsupported RDF format $format")
+  require(Set("nt", "ttl", "xml").contains(format), s"unsupported RDF format $format")
 
   val namespaces: Map[String, String] =
     userNamespaces ++ Map("biocypher" -> RdfVocab.Biocypher)
@@ -128,6 +132,48 @@ final class RdfSink(
     prefixOrder.sortBy(_._1).map { case (p, ns) => s"@prefix $p: <$ns> ." }
       .mkString("", "\n", "\n")
 
+  // ------------------------------------------------------- XML rendering
+
+  private def xmlEscAttr(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+  private def xmlEscText(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Predicate element for RDF/XML: (tag, extra attrs). Known-prefix IRIs
+    * use the root-declared qname; anything else declares its namespace
+    * inline, split at the last '#'/'/'. */
+  private def predTag(p: String): (String, String) =
+    prefixOrder.collectFirst {
+      case (px, ns) if p.startsWith(ns) && pnameLocalOk(p.stripPrefix(ns)) &&
+        !p.stripPrefix(ns).head.isDigit => (s"$px:${p.stripPrefix(ns)}", "")
+    }.getOrElse {
+      val i = math.max(p.lastIndexOf('#'), p.lastIndexOf('/'))
+      val (ns, local) = (p.substring(0, i + 1), p.substring(i + 1))
+      (s"g:$local", s""" xmlns:g="${xmlEscAttr(ns)}"""")
+    }
+
+  /** Root element open tag with every bound prefix declared. */
+  def xmlRootOpen: String =
+    prefixOrder.sortBy(_._1)
+      .map { case (p, ns) => s"""xmlns:$p="${xmlEscAttr(ns)}"""" }
+      .mkString("<rdf:RDF ", " ", ">")
+
+  // -------------------------------------------------- statement rendering
+
+  /** One statement line, IRI object (format-dispatched). */
+  private def stmtIri(s: String, p: String, o: String): String =
+    if (format == "xml") {
+      val (tag, attrs) = predTag(p)
+      s"""  <rdf:Description rdf:about="${xmlEscAttr(s)}"><$tag$attrs rdf:resource="${xmlEscAttr(o)}"/></rdf:Description>"""
+    } else s"${term(s)} ${term(p)} ${term(o)} ."
+
+  /** One statement line, literal object (format-dispatched). */
+  private def stmtLit(s: String, p: String, o: String): String =
+    if (format == "xml") {
+      val (tag, attrs) = predTag(p)
+      s"""  <rdf:Description rdf:about="${xmlEscAttr(s)}"><$tag$attrs>${xmlEscText(o)}</$tag></rdf:Description>"""
+    } else s"${term(s)} ${term(p)} ${literal(o)} ."
+
   // ------------------------------------------------------ triple renderers
 
   /** The per-class declaration statement `(biocypher:Class, rdf:type,
@@ -136,14 +182,14 @@ final class RdfSink(
     * it once per label instead — same graph, no per-row duplication. */
   def classLine(label: String): String = {
     val clsUri = RdfVocab.Biocypher + Naming.nameSentenceToPascal(label)
-    s"${term(clsUri)} ${term(RdfVocab.RdfType)} ${term(RdfVocab.RdfsClass)} ."
+    stmtIri(clsUri, RdfVocab.RdfType, RdfVocab.RdfsClass)
   }
 
   /** Statement lines for one node (reference `_rdf.py:276-313`). */
   def nodeLines(n: KgNode): Seq[String] = {
     val clsUri = RdfVocab.Biocypher + Naming.nameSentenceToPascal(n.label)
     val subj = uri(n.id)
-    s"${term(subj)} ${term(RdfVocab.RdfType)} ${term(clsUri)} ." +: propLines(subj, n.props)
+    stmtIri(subj, RdfVocab.RdfType, clsUri) +: propLines(subj, n.props)
   }
 
   /** Statement lines for one edge, reified (reference `_rdf.py:127-165`). */
@@ -152,9 +198,9 @@ final class RdfSink(
     val predId = Option(e.relId).getOrElse(e.src + e.tgt)
     val predUri = RdfVocab.Biocypher + predId
     Seq(
-      s"${term(predUri)} ${term(RdfVocab.RdfType)} ${term(edgeClsUri)} .",
-      s"${term(predUri)} ${term(RdfVocab.Biocypher + "subject")} ${term(uri(e.src))} .",
-      s"${term(predUri)} ${term(RdfVocab.Biocypher + "object")} ${term(uri(e.tgt))} .",
+      stmtIri(predUri, RdfVocab.RdfType, edgeClsUri),
+      stmtIri(predUri, RdfVocab.Biocypher + "subject", uri(e.src)),
+      stmtIri(predUri, RdfVocab.Biocypher + "object", uri(e.tgt)),
     ) ++ propLines(uri(predId), e.props)
   }
 
@@ -169,8 +215,8 @@ final class RdfSink(
       else Seq(v.s)
     props.filterNot(p => PV.isNone(p.v) || (p.v.t != "list" && (p.v.s == null || p.v.s.isEmpty)))
       .flatMap { p =>
-        val pred = term(RdfVocab.propertyToUri(p.k))
-        items(p.v).map(it => s"${term(subj)} $pred ${literal(it)} .")
+        val pred = RdfVocab.propertyToUri(p.k)
+        items(p.v).map(it => stmtLit(subj, pred, it))
       }
   }
 
@@ -183,6 +229,7 @@ final class RdfSink(
     BatchSink.writePartitioned(spark, rendered, outDir, ctx.config.batchSize,
       extension = ext)
     if (format == "ttl") prependHeaders()
+    if (format == "xml") wrapXmlFiles()
   }
 
   def writeNodes(ds: Dataset[KgNode]): Unit = {
@@ -263,6 +310,23 @@ final class RdfSink(
         val body = Files.readString(f)
         if (!body.startsWith("@prefix"))
           Files.writeString(f, prefixHeader + body)
+      }
+  }
+
+  /** RDF/XML part files get the document envelope (same bounded per-file
+    * pass as [[prependHeaders]]; bodies are one Description per line). */
+  private def wrapXmlFiles(): Unit = {
+    val out = Paths.get(outDir)
+    if (!Files.isDirectory(out)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(out).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(s".$ext"))
+      .foreach { f =>
+        val body = Files.readString(f)
+        if (!body.startsWith("<?xml"))
+          Files.writeString(f,
+            "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" + xmlRootOpen + "\n" +
+              body + "</rdf:RDF>\n")
       }
   }
 }

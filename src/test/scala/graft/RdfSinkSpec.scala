@@ -96,4 +96,44 @@ class RdfSinkSpec extends AnyFunSuite {
     assert(ment.contains("biocypher:Mention rdf:type rdfs:Class ."))
     assert(ment.contains("biocypher:subject biocypher:doc1 ."))
   }
+
+  test("rdf/xml format: reified edge golden + well-formed document") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rdf-xml-")
+    val s = sink(tmp, format = "xml", ns = Map("op" -> "https://ops.example.org/"))
+    val edges = Seq(
+      KgEdge("prel0", "doc1", "op:join", "mention", Props.of("n" -> PV.int(4)))).toDS()
+    s.writeEdges(edges)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(tmp).iterator().asScala.toList
+      .filter(_.getFileName.toString.matches("Mention-part\\d+\\.xml")).sorted
+    assert(parts.nonEmpty)
+    // every part is independently enveloped; content asserts span all parts
+    val bodies = parts.map(java.nio.file.Files.readString(_))
+    bodies.foreach(b => assert(b.startsWith("<?xml version=\"1.0\" encoding=\"utf-8\"?>")))
+    val body = bodies.mkString("\n")
+    assert(body.contains("<rdf:RDF "))
+    assert(body.contains("xmlns:biocypher=\"https://biocypher.org/biocypher#\""))
+    // the reified statements (reference _rdf.py:127-165 in rdflib xml form)
+    assert(body.contains(
+      s"""<rdf:Description rdf:about="${bc}prel0"><rdf:type rdf:resource="${bc}Mention"/></rdf:Description>"""))
+    assert(body.contains(
+      s"""<rdf:Description rdf:about="${bc}prel0"><biocypher:subject rdf:resource="${bc}doc1"/></rdf:Description>"""))
+    assert(body.contains(
+      s"""<rdf:Description rdf:about="${bc}prel0"><biocypher:object rdf:resource="https://ops.example.org/join"/></rdf:Description>"""))
+    assert(body.contains(
+      s"""<rdf:Description rdf:about="${bc}prel0"><biocypher:n>4</biocypher:n></rdf:Description>"""))
+    // class declaration present and the document parses as XML
+    assert(body.contains(
+      s"""<rdf:Description rdf:about="${bc}Mention"><rdf:type rdf:resource="${RdfVocab.Rdfs}Class"/></rdf:Description>"""))
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val nDesc = bodies.map { b =>
+      val doc = dbf.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(b.getBytes("UTF-8")))
+      assert(doc.getDocumentElement.getLocalName == "RDF")
+      doc.getDocumentElement.getElementsByTagNameNS(RdfVocab.Rdf, "Description").getLength
+    }.sum
+    assert(nDesc == 5) // class decl + type + subject + object + n literal
+  }
 }
