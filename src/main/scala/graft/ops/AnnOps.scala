@@ -204,6 +204,14 @@ object AnnOps {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
       .filter(size(col("vs")).between(2, maxBucket))
+    scoredPairsFromBuckets(byBucket, minCos)
+  }
+
+  /** Shared tail of the bucketed near-dup paths: explode the capped member
+    * list into ordered pairs, score with the codegen'd pairwise cosine,
+    * filter at minCos. Expects a `vs` column of sorted (vec_id, embedding)
+    * structs. */
+  private def scoredPairsFromBuckets(byBucket: DataFrame, minCos: Double): DataFrame = {
     val pairs = byBucket.select(explode(flatten(transform(col("vs"), (x, i) =>
       transform(slice(col("vs"), i + 2, size(col("vs"))),
         y => struct(x.getField("vec_id").as("vec_a"),
@@ -234,11 +242,23 @@ object AnnOps {
     * still recover 42/992 brute-force pairs vs 24/992 for one (1.75×).
     * Same bucket cap discipline per table. */
   def cosineNearDupPairsMulti(embeddings: DataFrame, minCos: Double = 0.99,
-      nBits: Int = 8, maxBucket: Int = 256, tables: Int = 2): DataFrame =
-    (0 until tables)
-      .map(t => cosineNearDupPairs(embeddings, minCos, nBits, maxBucket, bitOffset = t * nBits))
-      .reduce(_ union _)
-      .dropDuplicates("vec_a", "vec_b")
+      nBits: Int = 8, maxBucket: Int = 256, tables: Int = 2): DataFrame = {
+    // plan shape: ONE corpus scan computes every table's bucket, ONE
+    // (table, bucket) shuffle groups all tables' candidates, pairs are
+    // scored thin (vec_a, vec_b, cosine), and the cross-table dedup is a
+    // final distinct over the filtered survivors — vs a per-table
+    // scan+shuffle union. Per-table bucket caps are preserved (the group
+    // key includes the table id).
+    val tb = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        signBucket(col("embedding"), nBits, t * nBits).as("bucket"))): _*))
+    val byBucket = embeddings
+      .select(col("vec_id"), col("embedding"), tb.as("tb"))
+      .groupBy(col("tb.tbl"), col("tb.bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .filter(size(col("vs")).between(2, maxBucket))
+    scoredPairsFromBuckets(byBucket, minCos).dropDuplicates("vec_a", "vec_b")
+  }
 
   /** Multi-probe sign-LSH top-k: search the query's bucket plus every
     * bucket at Hamming distance 1 (one sign flipped) — the standard recall
