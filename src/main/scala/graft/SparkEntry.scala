@@ -213,6 +213,17 @@ object SparkEntry {
     }),
     "ann_ivf_hist" -> ((s, dir) =>
       AnnOps.ivfListSizes(tbl(s, dir, "embeddings"), nList = 16)),
+    "ann_ivf_index_topk" -> ((s, dir) => {
+      // the persisted-index path: build the ivf_cid-partitioned parquet
+      // index, then answer from it — the scan reads ONLY the probed
+      // partitions (PartitionFilters), the 100-TB physical layout
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      AnnOps.writeIvfIndex(emb, tmp, nList = 16)
+      AnnOps.ivfTopKFromIndex(s, tmp, q, excludeId = 0L, k = 5, nProbe = 4)
+    }),
 
     "ann_vector_groups" -> ((s, dir) =>
       AnnOps.exactVectorDups(tbl(s, dir, "embeddings"), minCopies = 1)),
@@ -661,6 +672,18 @@ object SparkEntry {
     "ann_ivf_hist" ->
       s"""WITH $ivfCtes
          |SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n FROM asn GROUP BY cid""".stripMargin,
+    // identical semantics to ann_ivf_topk — the index path changes the
+    // physical plan (partition-pruned scan), not the answer
+    "ann_ivf_index_topk" ->
+      s"""WITH $ivfCtes,
+         |probes AS (SELECT cid FROM rn WHERE vec_id = 0 AND r <= 4),
+         |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0)
+         |SELECT s.vec_id, s.label,
+         |  round(list_dot_product(s.q, qv.qq) /
+         |    (sqrt(list_dot_product(s.q, s.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |FROM asn s JOIN probes p ON s.cid = p.cid, qv
+         |WHERE s.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |  (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END

@@ -111,10 +111,14 @@ object AnnOps {
     * untrained centroids leave list balance unproven at 100 TB). */
   def ivfTrainCentroids(embeddings: DataFrame, nList: Int = 16,
       iters: Int = 2): Array[(Int, Array[Long], Double)] = {
-    var cents = ivfCentroids(embeddings, nList)
+    // the training loop makes iters+1 passes (init probe + one assignment
+    // per iteration); persist the input once so iterations read the cache,
+    // not the source scan
+    val cached = embeddings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = ivfCentroids(cached, nList)
     var t = 0
     while (t < iters) {
-      val sums = ivfAssign(embeddings, cents)
+      val sums = ivfAssign(cached, cents)
         .select(col("ivf_cid"),
           posexplode(quantize(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("ivf_cid"), col("pos"))
@@ -135,6 +139,7 @@ object AnnOps {
       }
       t += 1
     }
+    cached.unpersist(blocking = false)
     cents
   }
 
@@ -183,6 +188,46 @@ object AnnOps {
       (cid, dot.toDouble / (qNorm * cn))
     }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
     val pruned = ivfAssign(embeddings, cents)
+      .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
+    cosineTopK(pruned, queryVec, excludeId, k)
+  }
+
+  /** Persist the IVF index as a parquet table PARTITIONED BY list id, with
+    * the trained centroids as a tiny sidecar table. At 100 TB this is the
+    * physical layout that turns nProbe pruning into PARTITION PRUNING at
+    * the scan: a query plans `ivf_cid IN (probes)` as PartitionFilters and
+    * reads only nProbe/nList of the files — no job touches the other
+    * lists' bytes at all (vs [[ivfTopK]]'s in-memory assignment + filter,
+    * which still scans the full corpus). Index build is the training cost
+    * plus one partitioned shuffle-free write. */
+  def writeIvfIndex(embeddings: DataFrame, path: String, nList: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = ivfTrainCentroids(embeddings, nList, iters)
+    ivfAssign(embeddings, cents)
+      .write.mode("overwrite").partitionBy("ivf_cid").parquet(s"$path/vectors")
+    cents.toSeq.map { case (cid, q, n) => (cid, q.toSeq, n) }
+      .toDF("cid", "q", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k against a persisted [[writeIvfIndex]] index: rank centroids
+    * driver-side from the sidecar, then scan ONLY the probed partitions.
+    * Returns exactly [[ivfTopK]]'s rows for the same (nList, iters,
+    * nProbe) — the difference is the physical plan, not the answer. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Double], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val qq = queryVec.map(quantD)
+    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
+    val probes = cents.map { case (cid, cq, cn) =>
+      val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
+      (cid, dot.toDouble / (qNorm * cn))
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    val pruned = spark.read.parquet(s"$path/vectors")
       .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
     cosineTopK(pruned, queryVec, excludeId, k)
   }

@@ -36,12 +36,18 @@ object Tables {
       : (ListMap[String, DataFrame], DataFrame) = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    // one pass: label list + first encountered props per label (layout for
-    // labels the schema does not declare)
+    // thin-row discipline (VERDICT r1): the label probe is a codegen'd
+    // distinct on one string column; the fat first(props)
+    // ObjectHashAggregate runs ONLY over labels the schema does not
+    // declare — for a fully-declared schema no props row is ever
+    // aggregated
+    val labels = nodes.select(col("label")).distinct().as[String].collect().sorted
+    val undeclared = labels.filterNot(l => ctx.spec(l).exists(_.properties.nonEmpty))
     val firsts: Map[String, Seq[Prop]] =
-      nodes.groupBy(col("label")).agg(first(col("props")).as("props"))
+      if (undeclared.isEmpty) Map.empty
+      else nodes.filter(col("label").isin(undeclared.toSeq: _*))
+        .groupBy(col("label")).agg(first(col("props")).as("props"))
         .as[(String, Seq[Prop])].collect().toMap
-    val labels = firsts.keys.toSeq.sorted
     val base = nodes.select(
       col("id").as("node_id"),
       col("label").as("node_label"),

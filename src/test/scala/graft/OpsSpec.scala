@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.ops.{AnnOps, DedupOps}
@@ -127,6 +128,30 @@ class OpsSpec extends AnyFunSuite {
     assert(initRatio > 1.5, s"init should be skewed, got $initRatio")
     assert(trainedRatio < initRatio && trainedRatio <= 1.5,
       s"expected balanced lists after training, got $trainedRatio vs init $initRatio")
+  }
+
+  test("persisted IVF index answers identically and scans only probed partitions") {
+    val emb = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.1, 0.0, 0.0) else Seq(0.0, 0.0, 1.0, 0.1)
+      (i.toLong, s"v$i", base.map(x => (x + 0.003 * i).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val q = Seq(1.0, 0.1, 0.05, 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-idx-").toString
+    AnnOps.writeIvfIndex(emb, tmp, nList = 4, iters = 2)
+    val fromIndex = AnnOps.ivfTopKFromIndex(spark, tmp, q, excludeId = 0L, k = 5, nProbe = 2)
+    val inMemory = AnnOps.ivfTopK(emb, q, excludeId = 0L, k = 5, nList = 4, nProbe = 2)
+    assert(fromIndex.as[(Long, String, Double)].collect().toSeq ==
+      inMemory.as[(Long, String, Double)].collect().toSeq)
+    // physical proof of partition pruning: multiple list partitions exist
+    // on disk and the executed plan prunes on ivf_cid at the scan
+    // (inputFiles is relation-level metadata, so the plan is the evidence)
+    val allCids = java.nio.file.Files.list(java.nio.file.Paths.get(tmp, "vectors"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("ivf_cid=")).toSet
+    assert(allCids.size > 2, s"index must span >nProbe partitions, got $allCids")
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cid"),
+      s"expected ivf_cid partition filters at the scan:\n$plan")
   }
 
   test("multi-probe LSH is a superset of the single-bucket search") {
