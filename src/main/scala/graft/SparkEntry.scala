@@ -106,8 +106,14 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tmp = java.nio.file.Files.createTempDirectory("graft-hdr-").toString
       val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value, tmp)
-      sink.writeNodes(pipe.nodes(dm))
-      sink.writeEdges(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)))
+      // each sink write consumes its dataset twice (label probe + rendered
+      // write): persist the translated sets so the second pass reads cache
+      val ns = pipe.nodes(dm).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sink.writeNodes(ns)
+      sink.writeEdges(es)
+      ns.unpersist(blocking = false); es.unpersist(blocking = false)
       sink.headerRows().toDF("label", "header")
     }),
     "kg_label_hierarchy" -> ((s, dir) => {
@@ -140,9 +146,12 @@ object SparkEntry {
     }),
     "kg_node_frame" -> ((s, dir) => {
       // in-memory KG materialization (reference in_memory/_pandas.py):
-      // pivoted per-label frame for one class
+      // pivoted per-label frame for one class. The deduped node table is
+      // persisted so the frame machinery's label probe + frame scan run
+      // one pipeline pass, not two
       val pipe = KgPipeline.analytics(s)
       val ns = pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
         .select(col("node_id"), col("node_label"), col("name"))
     }),
