@@ -276,6 +276,12 @@ object Mentions {
     val pairs = dm.mapPartitions { it =>
       val base = it.buffered
       val seenRuns = if (guard) new LongHashSet(1 << 16) else null
+      // reusable per-partition primitive buffers: the hot loop allocates
+      // NOTHING per mention row (a (String, Double) tuple here costs a
+      // Tuple2 + boxed Double per row — measurable allocation pressure at
+      // 32 threads on the bandwidth-bound pipeline)
+      var curies = new Array[String](256)
+      var scores = new Array[Double](256)
       new Iterator[(String, String)] {
         private var out: Iterator[(String, String)] = Iterator.empty
         private def advance(): Unit = {
@@ -286,20 +292,25 @@ object Mentions {
                 s"doc-run contiguity violated: doc_id $docId reappeared after its run " +
                   "ended — the DocMention dataset was shuffled between detectPerDoc " +
                   "and pair emission (pass guard=false only if contiguity is certain)")
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+            var n = 0
             while (base.hasNext && base.head.doc_id == docId) {
-              val m = base.next(); buf += ((m.curie, m.score))
+              if (n == curies.length) {
+                curies = java.util.Arrays.copyOf(curies, n * 2)
+                scores = java.util.Arrays.copyOf(scores, n * 2)
+              }
+              val m = base.next()
+              curies(n) = m.curie; scores(n) = m.score; n += 1
             }
-            if (buf.length >= 2) {
+            if (n >= 2) {
               val arr: Array[String] =
-                if (buf.length > maxEntitiesPerDoc) {
+                if (n > maxEntitiesPerDoc) {
                   droppedDocs.add(1)
-                  val kept = buf.sortBy { case (c, s) => (-s, c) }
-                    .take(maxEntitiesPerDoc).map(_._1).toArray
+                  val kept = (0 until n).sortBy(i => (-scores(i), curies(i)))
+                    .take(maxEntitiesPerDoc).map(curies).toArray
                   java.util.Arrays.sort(kept.asInstanceOf[Array[Object]])
                   kept
                 } else {
-                  val a = buf.map(_._1).toArray
+                  val a = java.util.Arrays.copyOf(curies, n)
                   java.util.Arrays.sort(a.asInstanceOf[Array[Object]])
                   a
                 }
