@@ -20,7 +20,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q2_join", "kg_mentions", "kg_triples", "kg_rdf_reified",
         "dedup_minhash_lsh", "dedup_lsh_candidates", "dedup_jaccard",
-        "dedup_embedding", "ann_cosine_topk")
+        "dedup_embedding", "dedup_embedding_mp", "ann_cosine_topk",
+        "ann_ivf_index_topk", "kg_node_frame")
     names.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries.get(name) match {

@@ -174,11 +174,18 @@ final class KgSession(
     } finally entities.unpersist(blocking = false)
   }
 
-  /** Per-label property-pivoted frames (reference `to_df`, in_memory path). */
+  private var frameBases: Seq[DataFrame] = Nil
+
+  /** Per-label property-pivoted frames (reference `to_df`, in_memory path).
+    * The frames of one call share a persisted base projection; a repeat
+    * call releases the previous call's bases (no cache growth across
+    * calls — the frames a caller still holds just recompute). */
   def toDf(): ListMap[String, DataFrame] = {
-    val n = accNodes.map(Tables.nodeFrames(ctx, _)).getOrElse(ListMap.empty)
-    val e = accEdges.map(Tables.edgeFrames(ctx, _)).getOrElse(ListMap.empty)
-    n ++ e
+    frameBases.foreach(_.unpersist(blocking = false))
+    val n = accNodes.map(Tables.nodeFramesWithHandle(ctx, _))
+    val e = accEdges.map(Tables.edgeFramesWithHandle(ctx, _))
+    frameBases = (n.toSeq ++ e.toSeq).map(_._2)
+    n.map(_._1).getOrElse(ListMap.empty) ++ e.map(_._1).getOrElse(ListMap.empty)
   }
 
   /** (nodesDF, edgesDF) pair — the networkx-analogue representation. */
