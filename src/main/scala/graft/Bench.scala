@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Re-invoke this JVM's java with the same classpath/module flags on a
-    * different main class (one fresh JVM per parallelism level). */
-  private def runSubprocess(mainClass: String, args: Seq[String]): String = {
+    * different main class (one fresh JVM per parallelism level).
+    * `reps` overrides the child's best-of count when non-empty. */
+  private def runSubprocess(mainClass: String, args: Seq[String],
+      reps: String = ""): String = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments
@@ -38,7 +40,9 @@ object Bench {
         a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
       Seq(s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch", "-cp", cp, mainClass) ++ args
     val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
+    val env = if (reps.nonEmpty) Seq("SPARK_GRAFT_BENCH_REPS" -> reps) else Nil
+    val code = Process(cmd, None, env: _*)
+      .!(ProcessLogger(line => out.append(line).append('\n'), _ => ()))
     require(code == 0, s"subprocess $mainClass ${args.mkString(" ")} failed: $code")
     out.toString.linesIterator.filter(_.startsWith("{")).toSeq.last
   }
@@ -71,10 +75,29 @@ object Bench {
     require(levels.length == 2 && levels(1) == 4 * levels(0),
       s"scale levels must be (N, 4N); got ${levels.mkString(",")}")
     val (lo, hi) = (levels(0), levels(1))
-    val runN = runSubprocess("graft.BenchPipeline", Seq(lo.toString, benchDocs.toString))
-    val run4N = runSubprocess("graft.BenchPipeline", Seq(hi.toString, benchDocs.toString))
-    val secN = field(runN, "sec"); val triplesN = field(runN, "triples")
-    val sec4N = field(run4N, "sec"); val triples4N = field(run4N, "triples")
+    // INTERLEAVE the levels (lo,hi,lo,hi with the reps split across the
+    // passes) instead of one contiguous subprocess per level: this host's
+    // CPU-steal noise comes in multi-minute windows, and a contiguous
+    // level can land entirely inside a bad window — three same-day
+    // official runs measured efficiency 0.75/0.84/0.68 from exactly that
+    // (one level fast, the other slow, alternating). Interleaving spreads
+    // each level across both windows; best-of per level then samples the
+    // least-contended window for both sides.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4")
+    val samples: Seq[(Int, Double, Double)] = (1 to passes).flatMap { _ =>
+      Seq(lo, hi).map { lvl =>
+        val out = runSubprocess("graft.BenchPipeline",
+          Seq(lvl.toString, benchDocs.toString), repsPerPass)
+        (lvl, field(out, "sec"), field(out, "triples"))
+      }
+    }
+    def bestSec(lvl: Int): Double = samples.collect { case (`lvl`, s, _) => s }.min
+    val secN = bestSec(lo); val sec4N = bestSec(hi)
+    val triplesN = samples.head._3; val triples4N = triplesN
+    val sampleStr = Seq(lo, hi).map { lvl =>
+      f""""kg_sec_samples_n$lvl%d":[${samples.collect { case (`lvl`, s, _) => f"$s%.2f" }.mkString(",")}]"""
+    }.mkString(",")
     // full-width throughput headline (all cores), comparable to round 1's n32
     val runFull =
       if (cpus > hi) Some(runSubprocess("graft.BenchPipeline", Seq(cpus.toString, benchDocs.toString)))
@@ -120,6 +143,7 @@ object Bench {
         f""""kg_sec_n$lo%d":$secN%.2f,"kg_sec_n$hi%d":$sec4N%.2f,""" +
         f""""kg_triples_per_sec_n$lo%d":$thrN%.0f,"kg_triples_per_sec_n$hi%d":$thr4N%.0f,""" +
         f""""kg_sec_full_n$cpus%d":$secFull%.2f,"kg_triples_per_sec_full_n$cpus%d":$thrFull%.0f,""" +
+        s"""$sampleStr,""" +
         f""""kg_scaling_efficiency":$eff%.3f}""")
     System.out.flush()
     Runtime.getRuntime.halt(0) // avoid Netty shutdown hang on session stop

@@ -170,6 +170,13 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.dedupClusters(
         DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8))),
+    "dedup_apply" -> ((s, dir) => {
+      // end-to-end near-dup dedup: candidates -> clusters -> cleaned corpus
+      val docs = tbl(s, dir, "documents")
+      DedupOps.applyClusters(docs,
+          DedupOps.dedupClusters(DedupOps.lshCandidates(docs, n = 2, k = 16, r = 8)))
+        .select(col("doc_id"))
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -485,6 +492,18 @@ object SparkEntry {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc_id)
          |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id AND cl.doc_id <> cl.cluster)""".stripMargin,
     "ann_lsh_topk" ->
       """WITH qb AS (SELECT
         |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END

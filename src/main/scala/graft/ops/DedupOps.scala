@@ -235,6 +235,17 @@ object DedupOps {
     (labels, rounds)
   }
 
+  /** Apply near-dup clusters to the corpus — the dedup family's end
+    * product: keep every document that is its cluster's keeper (the
+    * component-min doc_id) or belongs to no cluster. One LEFT ANTI join
+    * against the non-keeper set (|members| − |clusters| rows — tiny
+    * relative to the corpus, so AQE broadcasts it); the corpus itself is
+    * never shuffled. */
+  def applyClusters(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents.join(
+      clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** 16-bit SimHash over token hashes: bit b set iff the sum over tokens of
     * (+1 if bit b of hash(token) else -1) is positive. The token-hash array
     * is bound once (same CollapseProject boundary as [[shingleHashes]]). */

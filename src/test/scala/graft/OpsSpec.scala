@@ -28,6 +28,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8L) == 1L && out(9L) == 1L && out(1L) == 1L)
   }
 
+  test("applyClusters keeps component keepers and untouched docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "alone"))
+      .toDF("doc_id", "text")
+    // components {1,2,3} (keeper 1) and {4} never paired; 9 untouched
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val kept = DedupOps.applyClusters(docs, clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L))
+  }
+
   test("dedupClusters: 1000-doc chain converges in O(log n) rounds") {
     // adversarial diameter-999 chain: min-label propagation would need ~999
     // rounds; large-star/small-star must stay logarithmic
