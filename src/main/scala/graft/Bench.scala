@@ -83,8 +83,12 @@ object Bench {
     // (one level fast, the other slow, alternating). Interleaving spreads
     // each level across both windows; best-of per level then samples the
     // least-contended window for both sides.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+    // throwaway warm-up subprocess: the first child JVM pays the
+    // spark-jars page-cache fill (~400 MB) — measured as a consistent
+    // first-sample penalty on whichever level runs first
+    runSubprocess("graft.BenchPipeline", Seq("2", "20000"), reps = "1")
     val samples: Seq[(Int, Double, Double)] = (1 to passes).flatMap { _ =>
       Seq(lo, hi).map { lvl =>
         val out = runSubprocess("graft.BenchPipeline",
