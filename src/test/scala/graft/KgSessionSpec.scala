@@ -143,6 +143,35 @@ class KgSessionSpec extends AnyFunSuite {
       .contains("nx.from_pandas_edgelist"))
   }
 
+  test("plain csv sink appends across calls: one header, continued index") {
+    val s = session("csv")
+    s.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p2"))))
+    s.writeNodes(spark.createDataset(Seq(protein("p3")))) // disjoint after dedup
+    val lines = Files.readAllLines(
+      java.nio.file.Path.of(s.outDir, "protein.csv")).toArray(Array.empty[String])
+    assert(lines.count(_.contains("node_id")) == 1, "exactly one header")
+    assert(lines.length == 4) // header + 3 rows
+    // pandas index continues across the append
+    assert(lines.drop(1).map(_.takeWhile(_ != ',')).sorted.toSeq == Seq("0", "1", "2"))
+    assert(lines.exists(_.contains("p3")))
+  }
+
+  test("networkx sink accumulates edges across writeEdges and writeRelAsNodes") {
+    val s = session("networkx")
+    s.writeEdges(spark.createDataset(Seq(
+      RawEdge("r1", "p1", "p2", "phosphorylation", Props.empty))))
+    // rel-as-node edges land in a writeRelAsNodes call AFTER plain edges:
+    // pre-fix this overwrote the earlier edges.parquet
+    s.writeEdges(spark.createDataset(Seq(
+      RawEdge(null, "p1", "p2", "post_translational",
+        Props.of("directed" -> PV.bool(true))))))
+    val edges = spark.read.parquet(s"${s.outDir}/networkx_graph/edges.parquet")
+    val labels = edges.select("relationship_label").as[String].collect().toSet
+    assert(labels.contains("phosphorylation"))
+    assert(labels.contains("IS_SOURCE_OF") && labels.contains("IS_TARGET_OF"),
+      s"rel-as-node connector edges must coexist with plain edges, got $labels")
+  }
+
   test("schema info yaml marks present classes") {
     val s = session()
     val ns = spark.createDataset(Seq(
