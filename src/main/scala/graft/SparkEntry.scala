@@ -198,6 +198,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(tbl(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
 
+    // -- training-data ops: sampling / vocab --
+    "sample_split" -> ((s, dir) =>
+      graft.ops.SampleOps.hashSplit(tbl(s, dir, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+    "text_vocab" -> ((s, dir) =>
+      graft.ops.SampleOps.topTokens(tbl(s, dir, "documents"), k = 20)),
+
     // -- training-data ops: dedup --
     "dedup_exact" -> ((s, dir) => DedupOps.exactGroups(tbl(s, dir, "documents"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -591,6 +599,17 @@ object SparkEntry {
         |      THEN 'es' ELSE 'en' END = lang AS agrees
         |FROM documents""".stripMargin,
 
+    "sample_split" ->
+      """SELECT doc_id,
+        | CASE WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 8000 THEN 'train'
+        |      WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 9000 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "text_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling / split operators for training-data pipelines.
+  *
+  * Everything is deterministic-hash based (md5-derived integer arithmetic,
+  * like the dedup family): a document's split assignment depends only on
+  * its id and the seed — stable across runs, engines, cluster sizes and
+  * input order, which is what makes train/test splits reproducible and
+  * leak-free at 100 TB (no RNG state, no global sort, no shuffle at all:
+  * the split is a narrow per-row projection the scan pipeline absorbs).
+  */
+object SampleOps {
+
+  /** Hash bucket in [0, buckets) from the doc id and seed — the same
+    * 56-bit md5 prefix arithmetic as [[TextOps.tokenHash]], so DuckDB
+    * replays it exactly. */
+  def hashBucket(id: Column, seed: String, buckets: Int): Column =
+    pmod(TextOps.tokenHash(concat(id.cast("string"), lit(seed))),
+      lit(buckets.toLong))
+
+  /** Deterministic weighted split: adds a `split` column with the name of
+    * the first split whose cumulative weight bound exceeds the doc's hash
+    * bucket (weights are normalized; 10,000 buckets give 0.01%
+    * granularity). Typical use: `hashSplit(docs, Seq("train" -> 0.98,
+    * "val" -> 0.01, "test" -> 0.01))`. */
+  def hashSplit(documents: DataFrame, splits: Seq[(String, Double)],
+      seed: String = "graft", idCol: String = "doc_id",
+      buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad split weights: $splits")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(b => math.round(b * buckets))
+    val b = hashBucket(col(idCol), seed, buckets)
+    val expr = splits.zip(bounds).reverse.foldLeft(lit(splits.last._1): Column) {
+      case (acc, ((name, _), bound)) => when(b < bound, lit(name)).otherwise(acc)
+    }
+    documents.withColumn("split", expr)
+  }
+
+  /** Global token vocabulary: top-`k` whitespace tokens by document-
+    * corpus frequency, ties broken lexicographically. One explode + one
+    * map-side-combined hash aggregate + a TakeOrdered top-k — the
+    * standard shape for frequency tables at scale (the shuffle carries
+    * only distinct tokens, not occurrences). */
+  def topTokens(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+}

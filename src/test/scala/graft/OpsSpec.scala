@@ -28,6 +28,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8L) == 1L && out(9L) == 1L && out(1L) == 1L)
   }
 
+  test("hashSplit is deterministic, exhaustive and proportional") {
+    import graft.ops.SampleOps
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = SampleOps.hashSplit(docs, splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val b = SampleOps.hashSplit(docs.orderBy(col("doc_id").desc), splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b, "assignment must not depend on input order")
+    assert(a.values.sum == 2000, "every doc gets exactly one split")
+    assert(a("train") > 1500 && a("train") < 1700, s"~80% train, got $a")
+    assert(a("val") > 120 && a("val") < 280 && a("test") > 120 && a("test") < 280)
+    // a different seed reshuffles, same seed reproduces
+    val c = SampleOps.hashSplit(docs, splits, seed = "other")
+      .filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val aval = SampleOps.hashSplit(docs, splits)
+      .filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val aval2 = SampleOps.hashSplit(docs, splits)
+      .filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    assert(aval == aval2 && aval != c)
+  }
+
   test("applyClusters keeps component keepers and untouched docs") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "alone"))
       .toDF("doc_id", "text")
