@@ -68,6 +68,25 @@ object Streaming {
       }
   }
 
+  /** Full streaming KG-ingestion slice: an interleaved-docs STREAM runs
+    * through mention detection + entity linking (the batch adapter's
+    * stateless narrow map, unchanged — broadcast trie, no shuffle),
+    * translation, and TTL-bounded cross-batch node dedup. With a
+    * `checkpointLocation` on the writeStream this is the resumable
+    * ingestion path of the north rule: source offsets and the dedup state
+    * store both recover on restart, so a re-run never re-emits entities
+    * already committed. */
+  def ingestNodesStream(
+      docs: Dataset[graft.model.Doc],
+      bcDict: org.apache.spark.broadcast.Broadcast[graft.extract.MentionDict],
+      bcCtx: org.apache.spark.broadcast.Broadcast[graft.KgContext],
+      ttl: String = DefaultTtl): Dataset[KgNode] =
+    dedupNodesStream(
+      graft.translate.Translate.nodes(
+        graft.extract.Mentions.toRawNodes(
+          graft.extract.Mentions.detect(docs, bcDict)), bcCtx),
+      ttl)
+
   /** Tumbling-window event aggregation with a watermark for late data —
     * the streaming form of SparkEntry's q5 (same semantics in batch). */
   def windowedEventAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =

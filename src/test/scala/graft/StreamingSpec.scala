@@ -38,6 +38,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion slice: docs stream -> mentions -> nodes, deduped across batches") {
+    import graft.model.{Doc, Span}
+    import graft.corpus.AnalyticsDomain
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val bcDict = spark.sparkContext.broadcast(AnalyticsDomain.dict)
+    val bcCtx = spark.sparkContext.broadcast(AnalyticsDomain.context())
+    val q = Streaming.ingestNodesStream(in.toDS(), bcDict, bcCtx, ttl = null)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Doc("d1", Seq(Span("text", "scan the table", null, 0))))
+      q.processAllAvailable()
+      // batch 2 re-mentions 'scan' (must NOT re-emit) and adds 'join'
+      in.addData(Doc("d2", Seq(Span("text", "scan and join", null, 0))))
+      q.processAllAvailable()
+      val out = spark.table("ingest_out").as[KgNode].collect()
+      assert(out.map(_.id).sorted.toSeq == Seq("op:join", "op:scan", "store:table"))
+      assert(out.forall(_.label == "relational operator") ||
+        out.exists(_.label == "storage structure"))
+    } finally q.stop()
+  }
+
   test("TTL-bounded dedup (processing-time timers) runs and dedups a batch") {
     // Processing-time timers keep scheduling no-data micro-batches, so
     // neither processAllAvailable nor Trigger.AvailableNow ever settles —
