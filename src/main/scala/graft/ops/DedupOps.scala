@@ -176,9 +176,43 @@ object DedupOps {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     dedupClustersStats(pairs, maxIter)._1
 
+  /** Driver-side union-find for a SMALL long-keyed edge set (≤ the
+    * [[dedupClustersStats]] threshold): roots always attach under the
+    * smaller id, so find() yields the component min — identical output to
+    * the distributed star rounds at none of their per-round job latency. */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      parent.getOrElseUpdate(ra min rb, ra min rb)
+    }
+    val members = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    spark.createDataset(members.toSeq.map(m => (m, find(m))))
+      .toDF("doc_id", "cluster")
+  }
+
   /** [[dedupClusters]] plus the number of large-star/small-star rounds run
-    * (spec hook for the O(log n) convergence bound). */
-  def dedupClustersStats(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    * (spec hook for the O(log n) convergence bound). `localThreshold` is
+    * the adaptive small-graph gate: when the (already bucket-capped)
+    * candidate-pair set fits comfortably on the driver and is long-keyed,
+    * a single union-find pass replaces the O(log n) distributed rounds —
+    * the same kind of size-gated physical choice AQE makes for joins. The
+    * distributed path is the contract (spec-proven equal on the same
+    * inputs, including the 1000-chain); set `localThreshold = 0` to force
+    * it. */
+  def dedupClustersStats(pairs: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1L << 20): (DataFrame, Int) = {
     // canonical orientation big -> small; the star edges keep it throughout
     var e = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
@@ -186,6 +220,11 @@ object DedupOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+
+    val longKeyed = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed && localThreshold > 0 && e.count() <= localThreshold)
+      return (localUnionFind(e), 0)
 
     // set fingerprint: row count + XOR of per-edge hashes (order-independent,
     // overflow-free under ANSI; the edge set is distinct so XOR cannot cancel)

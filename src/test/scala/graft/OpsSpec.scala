@@ -60,15 +60,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 9L))
   }
 
-  test("dedupClusters: 1000-doc chain converges in O(log n) rounds") {
+  test("dedupClusters: 1000-doc chain converges in O(log n) DISTRIBUTED rounds") {
     // adversarial diameter-999 chain: min-label propagation would need ~999
-    // rounds; large-star/small-star must stay logarithmic
+    // rounds; large-star/small-star must stay logarithmic. localThreshold=0
+    // forces the distributed path (the small-graph gate would shortcut it)
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (out, rounds) = DedupOps.dedupClustersStats(pairs)
-    assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
+    val (out, rounds) = DedupOps.dedupClustersStats(pairs, localThreshold = 0)
+    assert(rounds >= 1 && rounds <= 12, s"expected O(log n) rounds, got $rounds")
     val m = out.as[(Long, Long)].collect().toMap
     assert(m.size == 1000)
     assert(m.values.forall(_ == 0L))
+  }
+
+  test("dedupClusters: small-graph union-find path equals the distributed path") {
+    // chain + cycle + star + isolated pair, shared in one input
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L)))
+      .toDF("doc_a", "doc_b")
+    val (local, lr) = DedupOps.dedupClustersStats(pairs)
+    val (dist, dr) = DedupOps.dedupClustersStats(pairs, localThreshold = 0)
+    assert(lr == 0 && dr >= 1)
+    assert(local.as[(Long, Long)].collect().toMap == dist.as[(Long, Long)].collect().toMap)
   }
 
   test("lshCandidates respects the bucket-size cap") {
