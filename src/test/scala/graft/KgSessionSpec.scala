@@ -41,6 +41,24 @@ class KgSessionSpec extends AnyFunSuite {
     assert(row.getAs[Double]("score") == 1.0)
   }
 
+  test("toDf edge frames carry pivoted property columns (reference _pandas.py:87-95)") {
+    val s = session()
+    s.addEdges(spark.createDataset(Seq(
+      RawEdge("r1", "p1", "p2", "phosphorylation",
+        Props.of("score" -> PV.dbl(0.7), "directed" -> PV.bool(true))),
+      RawEdge("r2", "p2", "p3", "phosphorylation",
+        Props.of("score" -> PV.dbl(0.9), "directed" -> PV.bool(false))))))
+    val df = s.toDf()("phosphorylation")
+    assert(df.columns.toSet == Set("relationship_id", "source_id", "target_id",
+      "relationship_label", "score", "directed"),
+      s"edge frame must carry its property columns, got ${df.columns.mkString(",")}")
+    val r1 = df.filter(df("relationship_id") === "r1").head()
+    assert(r1.getAs[String]("source_id") == "p1")
+    assert(r1.getAs[String]("relationship_label") == "phosphorylation")
+    assert(r1.getAs[Double]("score") == 0.7)
+    assert(r1.getAs[Boolean]("directed"))
+  }
+
   test("write path: nodes -> parts + headers + import call") {
     val s = session()
     s.writeNodes(spark.createDataset(Seq(protein("p1"), protein("p1"), protein("p2"))))
