@@ -32,6 +32,7 @@ final class KgSession(
     val ctx: KgContext,
     val outDir: String,
     dbms: String = "neo4j",
+    csvDelimiter: String = ",", // the reference csv section's own delimiter
 ) {
 
   import spark.implicits._
@@ -44,7 +45,7 @@ final class KgSession(
     case "sqlite"   => new SqliteCsvSink(ctx, outDir)
     case "arango"   => new ArangoCsvSink(ctx, outDir)
     case "rdf"      => new RdfSink(ctx, outDir)
-    case "csv"      => new PandasCsvSink(ctx, outDir)
+    case "csv"      => new PandasCsvSink(ctx, outDir, csvDelimiter)
     case "networkx" => new NetworkxSink(ctx, outDir)
     case other      => throw new IllegalArgumentException(s"unknown dbms $other")
   }
@@ -197,6 +198,9 @@ final class KgSession(
   def translate(query: String): String = ctx.translateQuery(query)
   def reverseTranslate(query: String): String = ctx.reverseTranslateQuery(query)
 
+  /** Config warnings surfaced at construction (file-config path only). */
+  var configWarnings: List[String] = Nil
+
   /** Schema info with runtime presence flags (reference: _core.py:673-753),
     * as YAML text for the sidecar. */
   def schemaInfoYaml(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String = {
@@ -212,5 +216,32 @@ final class KgSession(
       sb ++= s"  is_relationship: ${(spec.representedAs != "node").toString.capitalize}\n"
     }
     sb.toString
+  }
+}
+
+object KgSession {
+
+  /** Session whose dbms + sink settings come from layered YAML config
+    * (reference: _config/__init__.py:70-95 — module defaults <- user conf
+    * <- working-dir conf): the file-configured path every reference user
+    * drives today. Config files are optional; omitted layers fall back to
+    * the module defaults. Parse warnings (double-quoted escape scalars)
+    * land on [[KgSession.configWarnings]]. */
+  def fromConfig(
+      spark: SparkSession,
+      schemaYaml: String,
+      headOntologyTtl: String,
+      rootLabel: String,
+      outDir: String,
+      localConfigYaml: Option[String] = None,
+      userConfigYaml: Option[String] = None,
+  ): KgSession = {
+    val loaded = KgConfigLoader.load(localConfigYaml, userConfigYaml)
+    val ctx = KgContext.build(schemaYaml, headOntologyTtl, rootLabel,
+      config = loaded.config)
+    val csvDelim = if (loaded.dbms == "csv") loaded.config.delimiter else ","
+    val s = new KgSession(spark, ctx, outDir, loaded.dbms, csvDelim)
+    s.configWarnings = loaded.warnings
+    s
   }
 }

@@ -282,6 +282,22 @@ object SparkEntry {
       AnnOps.ivfTopKFromIndex(s, ivfIndex(s, dir), q, excludeId = 0L, k = 5, nProbe = 4)
     }),
 
+    "ann_ivf_recall" -> ((s, dir) => {
+      // recall@k audit: IVF-pruned top-k vs the brute-force ground truth
+      // (the number that justifies nProbe/nList at scale; the oracle
+      // recomputes both sides and the same recall formula)
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val k = 20
+      val exact = AnnOps.cosineTopK(emb, q, excludeId = 0L, k).select("vec_id")
+      val approx = AnnOps.ivfTopK(emb, ivfCents(s, dir), q, excludeId = 0L, k, nProbe = 4)
+        .select("vec_id")
+      exact.join(approx, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(k.toLong).as("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 6).as("recall"))
+    }),
     "ann_vector_groups" -> ((s, dir) =>
       AnnOps.exactVectorDups(tbl(s, dir, "embeddings"), minCopies = 1)),
     "dedup_embedding" -> ((s, dir) =>
@@ -775,6 +791,22 @@ object SparkEntry {
          |FROM asn s JOIN probes p ON s.cid = p.cid, qv
          |WHERE s.vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""WITH $ivfCtes,
+         |probes AS (SELECT cid FROM rn WHERE vec_id = 0 AND r <= 4),
+         |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+         |approx AS (SELECT s.vec_id,
+         |    round(list_dot_product(s.q, qv.qq) /
+         |      (sqrt(list_dot_product(s.q, s.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |  FROM asn s JOIN probes p ON s.cid = p.cid, qv
+         |  WHERE s.vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 20),
+         |exact AS (SELECT e.vec_id,
+         |    round(list_dot_product(e.q, qv.qq) /
+         |      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |  FROM e, qv WHERE e.vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+         |  round(CAST(count(*) AS DOUBLE) / 20, 6) AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |  (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END

@@ -26,24 +26,36 @@ final class NetworkxSink(
   // pickling, so successive calls must ACCUMULATE here too: append mode
   // adds part files to the fixed schema instead of clobbering a prior
   // call's output (writeRelAsNodes' connector edges previously overwrote
-  // plain edges within a single KgSession.writeEdges).
+  // plain edges within a single KgSession.writeEdges). The FIRST call of a
+  // session overwrites, so a fresh run pointed at an existing outDir does
+  // not silently merge with a previous run's graph (the reference avoids
+  // this with a fresh timestamped dir per run).
+  private var nodesWritten = false
+  private var edgesWritten = false
 
   def writeNodes(nodes: Dataset[KgNode]): Unit = {
     val (frames, base) = Tables.nodeFramesWithHandle(ctx, nodes)
     val all = frames.values.map(df => df.select(col("node_id"), col("node_label"),
       to_json(struct(df.columns.filterNot(Set("node_id", "node_label")).map(col): _*))
         .as("attrs")))
-    if (all.nonEmpty)
-      all.reduce(_ unionByName _).write.mode("append").parquet(s"$graphDir/nodes.parquet")
+    if (all.nonEmpty) {
+      all.reduce(_ unionByName _).write
+        .mode(if (nodesWritten) "append" else "overwrite")
+        .parquet(s"$graphDir/nodes.parquet")
+      nodesWritten = true
+    }
     base.unpersist(blocking = false)
   }
 
-  def writeEdges(edges: Dataset[KgEdge]): Unit =
+  def writeEdges(edges: Dataset[KgEdge]): Unit = {
     edges.select(
       col("src").as("source_id"),
       col("tgt").as("target_id"),
       col("label").as("relationship_label"),
-    ).write.mode("append").parquet(s"$graphDir/edges.parquet")
+    ).write.mode(if (edgesWritten) "append" else "overwrite")
+      .parquet(s"$graphDir/edges.parquet")
+    edgesWritten = true
+  }
 
   def writeRelAsNodes(ds: Dataset[RelAsNode]): Unit = {
     val spark = ds.sparkSession

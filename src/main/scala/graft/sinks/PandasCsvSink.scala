@@ -26,6 +26,7 @@ final class PandasCsvSink(
 ) extends EntitySink {
 
   private var stored: ListMap[String, String] = ListMap.empty // type -> file stem
+  private var rowsWritten: Map[String, Long] = Map.empty // type -> rows this session
 
   private def fileStem(entityType: String): String =
     entityType.replace(" ", "_").replace(".", "_")
@@ -35,12 +36,14 @@ final class PandasCsvSink(
     val target = Paths.get(outDir, s"$stem.csv")
     // accumulate across calls like the reference's growing pandas frame:
     // session dedup makes each call's rows disjoint, so a second write of
-    // the same type APPENDS (header skipped, index continued) instead of
-    // silently replacing the earlier rows
-    val existingRows =
-      if (Files.exists(target))
-        math.max(0L, Files.lines(target).count() - 1) // minus header line
-      else 0L
+    // the same type APPENDS (header skipped, index continued). The row
+    // count is tracked IN the sink, not re-derived from file line counts
+    // (CSV records with quoted embedded newlines span physical lines), so
+    // a type's FIRST write this session replaces any stale file from an
+    // earlier run — the reference writes each run into a fresh output dir;
+    // for resumable multi-run output use the batch sinks
+    val existingRows = rowsWritten.getOrElse(entityType, 0L)
+    val newRows = df.count()
     // pandas to_csv writes the index as an unnamed leading column
     // (read back with index_col=0)
     val w = Window.orderBy(col(orderCol))
@@ -62,6 +65,7 @@ final class PandasCsvSink(
             java.nio.file.StandardOpenOption.APPEND)
       }
     stored += entityType -> stem
+    rowsWritten += entityType -> (existingRows + newRows)
   }
 
   def writeNodes(nodes: Dataset[KgNode]): Unit = {

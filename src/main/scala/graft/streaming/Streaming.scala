@@ -87,6 +87,26 @@ object Streaming {
           graft.extract.Mentions.detect(docs, bcDict)), bcCtx),
       ttl)
 
+  /** Edge half of the streaming KG slice: the SAME batch adapter code
+    * (mention detection over the broadcast trie -> RawEdge -> translation)
+    * run on a docs stream, with TTL-bounded cross-batch edge dedup on
+    * (label, relId|src_tgt) — together with [[ingestNodesStream]] this is
+    * the full docs -> nodes + edges resumable ingestion: both state stores
+    * and the source offsets recover from the same checkpoint. */
+  def ingestEdgesStream(
+      docs: Dataset[graft.model.Doc],
+      bcDict: org.apache.spark.broadcast.Broadcast[graft.extract.MentionDict],
+      bcCtx: org.apache.spark.broadcast.Broadcast[graft.KgContext],
+      ttl: String = DefaultTtl): Dataset[KgEdge] = {
+    import docs.sparkSession.implicits._
+    dedupEdgesStream(
+      graft.translate.Translate.edges(
+        graft.extract.Mentions.toMentionEdges(
+          graft.extract.Mentions.detect(docs, bcDict)), bcCtx)
+        .filter(_.edge != null).map(_.edge),
+      ttl)
+  }
+
   /** Tumbling-window event aggregation with a watermark for late data —
     * the streaming form of SparkEntry's q5 (same semantics in batch). */
   def windowedEventAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =

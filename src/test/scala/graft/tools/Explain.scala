@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Plan audit: print formatted physical plans for the hot queries so scan
   * pruning (`ReadSchema`/`PushedFilters`), join strategies (broadcast vs
   * shuffle) and WholeStageCodegen spans can be inspected and kept tight.
-  * Usage: sbt "runMain graft.Explain [queryName ...]"
+  * Usage: sbt "Test/runMain graft.Explain [queryName ...]"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
