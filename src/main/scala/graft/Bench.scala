@@ -86,7 +86,7 @@ object Bench {
     // (one level fast, the other slow, alternating). Interleaving spreads
     // each level across both windows; best-of per level then samples the
     // least-contended window for both sides.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1; got $passes")
     val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
     // throwaway warm-up subprocess: the first child JVM pays the
@@ -117,10 +117,18 @@ object Bench {
     // samples cancels window-level contention (both legs inflate together),
     // where best-of-per-level can pair a lucky lo with an unlucky hi from a
     // different window (official r3 line: 0.690 from exactly that, same
-    // binaries measuring 0.84-0.92 idle). Official = best pair; the median
-    // pair and the legacy global-best-of are emitted alongside, plus every
-    // raw sample, so the estimate stays diagnosable.
-    val pairEffs = pairs.map { case ((sLo, _), (sHi, _)) => sLo / (4.0 * sHi) }
+    // binaries measuring 0.84-0.92 idle). Each lo sample pairs with BOTH
+    // temporally adjacent hi samples (the hi right after it, and the hi
+    // that preceded it from the previous pass) — the i±1 pool the r3
+    // verdict prescribed, 2*passes-1 ratios. Official = best pair; the
+    // median pair and the legacy global-best-of are emitted alongside,
+    // plus every raw sample, so the estimate stays diagnosable.
+    val pairEffs = pairs.indices.flatMap { i =>
+      val sLo = pairs(i)._1._1
+      val after = Some(pairs(i)._2._1)
+      val before = if (i > 0) Some(pairs(i - 1)._2._1) else None
+      (before.toSeq ++ after.toSeq).map(sHi => sLo / (4.0 * sHi))
+    }
     val effPair = pairEffs.max
     val effMedian = pairEffs.sorted.apply((pairEffs.size - 1) / 2)
     val sampleStr =

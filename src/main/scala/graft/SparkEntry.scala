@@ -123,14 +123,22 @@ object SparkEntry {
       val pipe = KgPipeline.analytics(s)
       val dm = pipe.docMentions(kgDocs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // header synthesis needs only the per-label LAYOUTS (thin label
-      // probes; the schema declares every property here), not a rendered
+      // header synthesis needs only the per-label LAYOUTS (label distinct
+      // + first(props) for the schema-undeclared labels), not a rendered
       // corpus write — the full write path has its own specs
-      // (Neo4jSinkSpec) and bench stage (BenchStages)
+      // (Neo4jSinkSpec) and bench stage (BenchStages). Each probe makes
+      // two passes over its input (thin label distinct, then firsts), so
+      // the probed sets are persisted; the remaining cost is the honest
+      // floor of whole-corpus label discovery (mention pass + node agg +
+      // co-occurrence agg)
       val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value,
         "/tmp/graft-hdr-unwritten")
-      sink.probeNodeLayouts(pipe.nodes(dm))
-      sink.probeEdgeLayouts(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)))
+      val ns = pipe.nodes(dm).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sink.probeNodeLayouts(ns)
+      sink.probeEdgeLayouts(es)
+      ns.unpersist(blocking = false); es.unpersist(blocking = false)
       dm.unpersist(blocking = false)
       sink.headerRows().toDF("label", "header")
     }),
@@ -228,11 +236,34 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(tbl(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
 
+    "text_contamination" -> ((s, dir) => {
+      // benchmark-overlap decontamination: every 20th doc plays the eval
+      // set, the rest are the corpus being scored
+      val docs = tbl(s, dir, "documents")
+      TextOps.ngramContamination(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 3)
+    }),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionScores(tbl(s, dir, "documents"), n = 2)),
+    "text_redact" -> ((s, dir) => {
+      // inject deterministic PII so the scrub has something to prove (the
+      // synthetic corpus contains none); the oracle injects identically
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0.1")).as("text"))
+      TextOps.redactPii(docs)
+    }),
+
     // -- training-data ops: sampling / vocab --
     "sample_split" -> ((s, dir) =>
       graft.ops.SampleOps.hashSplit(tbl(s, dir, "documents"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.SampleOps.stratifiedSample(tbl(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
     "text_vocab" -> ((s, dir) =>
       graft.ops.SampleOps.topTokens(tbl(s, dir, "documents"), k = 20)),
 
@@ -291,7 +322,9 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val k = 20
       val exact = AnnOps.cosineTopK(emb, q, excludeId = 0L, k).select("vec_id")
-      val approx = AnnOps.ivfTopK(emb, ivfCents(s, dir), q, excludeId = 0L, k, nProbe = 4)
+      // approx side answered from the shared persisted index (identical
+      // rows to the in-memory assignment path, spec-proven)
+      val approx = AnnOps.ivfTopKFromIndex(s, ivfIndex(s, dir), q, excludeId = 0L, k, nProbe = 4)
         .select("vec_id")
       exact.join(approx, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
@@ -659,6 +692,48 @@ object SparkEntry {
         |      THEN 'es' ELSE 'en' END = lang AS agrees
         |FROM documents""".stripMargin,
 
+    "text_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 3 THEN array_to_string(list_slice(t, i, i+2), ' ')
+        |              ELSE array_to_string(t, ' ') END AS gram
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-2, 1))) AS i) s),
+        |g AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(gram),1,14))::BIGINT % 1000000007 AS h FROM g0),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS contamination
+        |FROM g WHERE doc_id % 20 <> 0
+        |GROUP BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
+        |             ELSE array_to_string(t, ' ') END AS gram
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-1, 1))) AS i) s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS repetition
+        |FROM g GROUP BY doc_id""".stripMargin,
+    "text_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH d AS (SELECT doc_id,
+         |    text||' contact user'||doc_id||'@example.com from 10.0.0.1' AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text2, '$email'))
+         |     + len(regexp_extract_all(text2, '$ip')) AS BIGINT) AS n_pii
+         |FROM d""".stripMargin
+    },
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 <
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 WHEN 'de' THEN 1000
+        |    ELSE 0 END""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         | CASE WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 8000 THEN 'train'

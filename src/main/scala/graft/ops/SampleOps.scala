@@ -40,6 +40,26 @@ object SampleOps {
     documents.withColumn("split", expr)
   }
 
+  /** Deterministic stratified sampling: per-stratum keep fractions (e.g.
+    * downsample dominant languages, keep all of a rare one). A row is kept
+    * iff its hash bucket falls under its stratum's bound — the same
+    * seeded-hash discipline as [[hashSplit]], so the sample is stable
+    * across runs/engines/cluster sizes and needs NO shuffle, no per-stratum
+    * count pass, and no RNG state (Spark's `sampleBy` is seed-stable but
+    * partition-layout-dependent; this is content-keyed). Strata missing
+    * from `fractions` are dropped, like `sampleBy`. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: String = "graft",
+      idCol: String = "doc_id", buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    val bounds = typedLit(fractions.map { case (k, f) =>
+      k -> math.round(f * buckets)
+    })
+    df.filter(hashBucket(col(idCol), seed, buckets) <
+      coalesce(element_at(bounds, col(strataCol)), lit(0L)))
+  }
+
   /** Global token vocabulary: top-`k` whitespace tokens by document-
     * corpus frequency, ties broken lexicographically. One explode + one
     * map-side-combined hash aggregate + a TakeOrdered top-k — the

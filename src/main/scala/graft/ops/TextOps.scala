@@ -76,6 +76,83 @@ object TextOps {
     )
   }
 
+  /** Distinct hashed word n-grams of a text column (portable 56-bit md5
+    * hashes mod [[Mod]]); a doc shorter than `n` tokens contributes its
+    * whole text as one gram — the same convention as the shingle family. */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    array_distinct(transform(grams, g => pmod(tokenHash(g), lit(Mod))))
+  }
+
+  /** Benchmark-contamination check — the GPT-3/C4-style n-gram overlap
+    * decontamination pass: score every corpus document by how many of its
+    * distinct word n-grams appear anywhere in the benchmark (eval) set.
+    * Returns (doc_id, n_grams, n_hits, contamination).
+    *
+    * Scale shape: the benchmark side is dims-sized (eval suites are MBs
+    * against a 100-TB corpus), so its distinct gram hashes BROADCAST; the
+    * corpus side is one narrow explode + broadcast left join, and the
+    * per-doc re-aggregation partial-aggregates map-side back to one row
+    * per document before the only shuffle (O(docs) thin rows). The corpus
+    * text is never shuffled and never compared pairwise. */
+  def ngramContamination(documents: DataFrame, benchmark: DataFrame,
+      n: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode(ngramHashes(col("text"), n)).as("h")).distinct()
+        .withColumn("_hit", lit(1L)))
+    documents
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("h"))
+      .join(bench, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6).as("contamination"))
+  }
+
+  /** Within-document repetition signal — the Gopher/C4-style repeated-
+    * n-gram quality filter: fraction of word n-grams that are repeats
+    * (1 - distinct/total). Pure per-row array arithmetic, absorbed by the
+    * scan (no shuffle, no UDF). Returns (doc_id, n_grams, n_distinct,
+    * repetition). */
+  def repetitionScores(documents: DataFrame, n: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    documents.select(
+      col("doc_id"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"),
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+        .as("repetition"),
+    )
+  }
+
+  /** RE2-compatible PII patterns (no lookarounds/backrefs, so Java regex
+    * and the DuckDB oracle agree). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails and IPv4 addresses with typed
+    * placeholder tokens, and count what was redacted. A pure
+    * regexp_replace/regexp_count chain — codegen'd, narrow, absorbed by
+    * the scan pipeline (the 100-TB shape for a scrub pass). Returns
+    * (doc_id, clean_text, n_pii). */
+  def redactPii(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col(textCol),
+        lit(EmailRe), lit("<EMAIL>")), lit(Ipv4Re), lit("<IP>")).as("clean_text"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(col(textCol), lit(Ipv4Re))).cast("long").as("n_pii"),
+    )
+
   /** Language-marker signal: per-document counts of per-language marker
     * tokens, predicted language = argmax (ties -> lexicographic marker
     * order). With a synthetic vocabulary this demonstrates the operator

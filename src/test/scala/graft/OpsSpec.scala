@@ -208,4 +208,63 @@ class OpsSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(single.subsetOf(multi) || multi.size == 50) // probe set ⊇ bucket
   }
+
+  test("ngramContamination scores overlap against a benchmark set") {
+    import graft.ops.TextOps
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // full overlap: every 3-gram hits
+      (2L, "alpha beta gamma zeta"),  // 1 of 2 grams hits
+      (3L, "eta theta iota kappa"),   // zero overlap
+    ).toDF("doc_id", "text")
+    val r = TextOps.ngramContamination(corpus, bench, n = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (2L, 2L))
+    assert(r(2L) == (2L, 1L))
+    assert(r(3L) == (2L, 0L))
+  }
+
+  test("repetitionScores: repeated bigrams raise the repetition fraction") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spam spam spam spam"),   // grams: 3x "spam spam" -> 1 distinct
+      (2L, "all words are unique"),  // 3 grams, 3 distinct
+      (3L, "tiny"),                  // shorter than n: whole text, 1 gram
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionScores(docs, n = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 0.666667)))
+    assert(r(2L) == ((3L, 3L, 0.0)))
+    assert(r(3L) == ((1L, 1L, 0.0)))
+  }
+
+  test("redactPii scrubs emails and IPs and counts them") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or 10.0.0.255 thanks"),
+      (2L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == ("mail me at <EMAIL> or <IP> thanks", 2L))
+    assert(r(2L) == ("nothing sensitive here", 0L))
+  }
+
+  test("stratifiedSample keeps per-stratum hash fractions, deterministically") {
+    import graft.ops.SampleOps
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = SampleOps.stratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.1))
+    val counts = s1.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(math.abs(counts("en") - 1000L) < 150, s"en ~50% of 2000: $counts")
+    assert(math.abs(counts("de") - 200L) < 100, s"de ~10% of 2000: $counts")
+    // deterministic: a second run yields the identical sample
+    val s2 = SampleOps.stratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.1))
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    // unknown strata are dropped
+    val s3 = SampleOps.stratifiedSample(df, "lang", Map("en" -> 0.5))
+    assert(s3.filter($"lang" === "de").count() == 0)
+  }
 }
