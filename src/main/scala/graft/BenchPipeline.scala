@@ -34,7 +34,8 @@ object BenchPipeline {
     val t0 = System.nanoTime()
     val dm = pipe.docMentions(docs)
     import org.apache.spark.storage.StorageLevel
-    dm.persist(StorageLevel.MEMORY_AND_DISK)
+    dm.persist(StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")))
     val ns = pipe.nodes(dm)
     // cooc pairs derive from the persisted mention table — the corpus is
     // synthesized and trie-matched ONCE per run (was twice: 2nd full pass)
