@@ -208,6 +208,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       DedupOps.dedupClusters(
         DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8))),
+    "dedup_verified" -> ((s, dir) =>
+      // two-stage production shape: LSH candidates -> exact-Jaccard verify
+      DedupOps.verifiedNearDupPairs(tbl(s, dir, "documents"),
+        n = 2, k = 16, r = 8, minJ = 0.3)),
     "dedup_apply" -> ((s, dir) => {
       // end-to-end near-dup dedup: candidates -> clusters -> cleaned corpus
       val docs = tbl(s, dir, "documents")
@@ -593,6 +597,21 @@ object SparkEntry {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc_id)
          |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "dedup_verified" ->
+      s"""WITH $lshCandCtes,
+         |hs AS (SELECT DISTINCT doc_id, hv FROM h),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN hs x ON x.doc_id = c.doc_a
+         |  JOIN hs y ON y.doc_id = c.doc_b AND x.hv = y.hv
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT m.doc_a, m.doc_b, CAST(m.n_common AS BIGINT) AS n_common,
+         |  CAST(m.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.n_common) AS jaccard
+         |FROM common m
+         |JOIN cnt ca ON ca.doc_id = m.doc_a
+         |JOIN cnt cb ON cb.doc_id = m.doc_b
+         |WHERE CAST(m.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.n_common) >= 0.3""".stripMargin,
     "dedup_apply" ->
       s"""WITH RECURSIVE $lshCandCtes,
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM cand

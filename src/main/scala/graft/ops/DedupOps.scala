@@ -156,6 +156,35 @@ object DedupOps {
       .distinct()
   }
 
+  /** Two-stage verified near-duplicates — the production LSH discipline:
+    * approximate candidate pairs ([[lshCandidates]]) VERIFIED by the exact
+    * n-gram Jaccard, computed only for candidate pairs (LSH alone admits
+    * banding false positives; clustering on unverified pairs over-merges).
+    * Returns (doc_a, doc_b, n_common, jaccard), jaccard >= minJ.
+    *
+    * Scale shape: the corpus-sized work is exactly what lshCandidates
+    * already does; verification first SEMI-reduces the per-doc shingle-set
+    * table to candidate docs (few, bucket-capped), then scores each pair
+    * with one array intersection — no new corpus shuffle, no self-join. */
+  def verifiedNearDupPairs(documents: DataFrame, n: Int = 2, k: Int = 16,
+      r: Int = 8, maxBucket: Int = 64, minJ: Double = 0.3): DataFrame = {
+    val cand = lshCandidates(documents, n, k, r, maxBucket)
+    val sets = shingleHashes(documents, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("hv"))).as("hs"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val reduced = sets.join(candDocs, Seq("doc_id"), "left_semi")
+    cand
+      .join(reduced.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(reduced.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
   /** Connected-component cluster assignment over candidate pairs: every doc
     * that appears in a pair maps to its component's smallest doc_id (the
     * canonical keeper — the distributed form of the reference's first-wins

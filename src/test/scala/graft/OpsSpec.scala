@@ -209,6 +209,23 @@ class OpsSpec extends AnyFunSuite {
     assert(single.subsetOf(multi) || multi.size == 50) // probe set ⊇ bucket
   }
 
+  test("verifiedNearDupPairs: exact jaccard verifies LSH candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "completely different text about spark engines and parquet"),
+    ).toDF("doc_id", "text")
+    val v = DedupOps.verifiedNearDupPairs(docs, n = 2, k = 16, r = 8, minJ = 0.5)
+      .collect()
+    assert(v.length == 1, s"only the true dup pair survives: ${v.mkString(",")}")
+    assert((v.head.getLong(0), v.head.getLong(1)) == ((1L, 2L)))
+    assert(v.head.getDouble(3) == 1.0)
+    // verified pairs are a subset of the raw candidates
+    val cand = DedupOps.lshCandidates(docs, n = 2, k = 16, r = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
   test("ngramContamination scores overlap against a benchmark set") {
     import graft.ops.TextOps
     val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
