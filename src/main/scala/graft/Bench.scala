@@ -5,11 +5,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
-  * plus KG-pipeline throughput at two parallelism levels (local[8] vs
-  * local[32], run as separate JVMs — the sandbox analogue of spark-submit
-  * at N and 4N executors) on an identical deterministic synthetic corpus,
-  * and the scaling efficiency throughput_4N / (4 x throughput_N)
-  * (BASELINE.json two-cluster-size criterion; see BASELINE.md).
+  * plus KG-pipeline throughput at two parallelism levels (local[4] vs
+  * local[16] by default, each a fresh JVM — the sandbox analogue of
+  * spark-submit at N and 4N executors) on an identical deterministic
+  * synthetic corpus, and the scaling efficiency
+  * throughput_4N / (4 x throughput_N) estimated from same-contention-
+  * window sample pairs (BASELINE.json two-cluster-size criterion; see
+  * BASELINE.md "Round-4 estimator").
   */
 object Bench {
 
@@ -82,14 +84,11 @@ object Bench {
     require(levels.length == 2 && levels(1) == 4 * levels(0),
       s"scale levels must be (N, 4N); got ${levels.mkString(",")}")
     val (lo, hi) = (levels(0), levels(1))
-    // INTERLEAVE the levels (lo,hi,lo,hi with the reps split across the
-    // passes) instead of one contiguous subprocess per level: this host's
-    // CPU-steal noise comes in multi-minute windows, and a contiguous
-    // level can land entirely inside a bad window — three same-day
-    // official runs measured efficiency 0.75/0.84/0.68 from exactly that
-    // (one level fast, the other slow, alternating). Interleaving spreads
-    // each level across both windows; best-of per level then samples the
-    // least-contended window for both sides.
+    // INTERLEAVE the levels as lo,hi,lo,hi,… — this host's CPU-steal noise
+    // comes in multi-minute windows, and a contiguous level can land
+    // entirely inside a bad window (r3 official runs measured
+    // 0.75/0.84/0.68 from exactly that). The pair estimator below builds
+    // directly on this ordering.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1; got $passes")
     val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
