@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * local[16] by default, each a fresh JVM — the sandbox analogue of
   * spark-submit at N and 4N executors) on an identical deterministic
   * synthetic corpus, and the scaling efficiency
-  * throughput_4N / (4 x throughput_N) estimated from same-contention-
-  * window sample pairs (BASELINE.json two-cluster-size criterion; see
-  * BASELINE.md "Round-4 estimator").
+  * throughput_4N / (4 x throughput_N) estimated as the MEDIAN of the
+  * same-contention-window pair ratios (BASELINE.json two-cluster-size
+  * criterion; see BASELINE.md "Round-5 estimator").
   */
 object Bench {
 
@@ -132,7 +132,12 @@ object Bench {
       val before = if (i > 0) Some(pairs(i - 1)._2._1) else None
       (before.toSeq ++ after.toSeq).map(sHi => sLo / (4.0 * sHi))
     }
-    val effPair = pairEffs.max
+    // OFFICIAL estimator = the MEDIAN of the same-window pair ratios
+    // (ADVICE r4: the max pair is upward-biased — any steal-inflated lo leg
+    // paired with a clean hi leg inflates the ratio; the median is the
+    // honest central estimate and must itself clear the 0.8 bar). The best
+    // pair is still published under its own key for diagnosability.
+    val effBestPair = pairEffs.max
     val effMedian = pairEffs.sorted.apply((pairEffs.size - 1) / 2)
     val sampleStr =
       f""""kg_sec_samples_n$lo%d":[${losSec.map(s => f"$s%.2f").mkString(",")}],""" +
@@ -163,6 +168,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "nation", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // one-time per-corpus artifact builds (IVF centroids/index, LSH
+    // candidate set, clusters) are timed as their OWN lines so the first
+    // consumer query's row measures the query, not the build (VERDICT r4 #8)
+    val artifacts = SparkEntry.artifactBuilders.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val ok = try { build(spark, sfDir); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1, not its (near-zero) elapsed time — a
@@ -177,18 +190,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val arts = artifacts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""artifact_build":$arts,"sf":"$sfDir",""" +
         s""""kg_bench_docs":$benchDocs,"kg_triples":${triples4N.toLong},""" +
         s""""kg_scale_cores_n":$lo,"kg_scale_cores_4n":$hi,""" +
         f""""kg_sec_n$lo%d":$secN%.2f,"kg_sec_n$hi%d":$sec4N%.2f,""" +
         f""""kg_triples_per_sec_n$lo%d":$thrN%.0f,"kg_triples_per_sec_n$hi%d":$thr4N%.0f,""" +
         f""""kg_sec_full_n$cpus%d":$secFull%.2f,"kg_triples_per_sec_full_n$cpus%d":$thrFull%.0f,""" +
         s"""$sampleStr,""" +
-        f""""kg_scaling_efficiency_median":$effMedian%.3f,""" +
+        f""""kg_scaling_efficiency_bestpair":$effBestPair%.3f,""" +
         f""""kg_scaling_efficiency_bestof":$effBestOf%.3f,""" +
-        f""""kg_scaling_efficiency":$effPair%.3f}""")
+        f""""kg_scaling_efficiency":$effMedian%.3f}""")
     System.out.flush()
     Runtime.getRuntime.halt(0) // avoid Netty shutdown hang on session stop
   }

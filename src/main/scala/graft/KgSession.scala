@@ -26,6 +26,13 @@ import graft.translate.Translate
   * across JVMs, which the reference's in-memory Deduplicator cannot do.
   * Rel-as-node entities get the same treatment keyed on (label, node id)
   * (reference rel_as_node_seen, _deduplicate.py:83-111).
+  *
+  * Bounded state (VERDICT r4 #9): with `seenTtlMs` set, snapshots carry a
+  * last-seen stamp per key and keys unseen for the horizon are forgotten
+  * at the next commit — the batch twin of [[streaming.Streaming]]'s state
+  * TTL (exact-within-horizon). Superseded snapshot versions are deleted
+  * after each commit, so disk usage is one TTL-bounded snapshot per key
+  * space, not a monotone version history.
   */
 final class KgSession(
     val spark: SparkSession,
@@ -33,6 +40,8 @@ final class KgSession(
     val outDir: String,
     dbms: String = "neo4j",
     csvDelimiter: String = ",", // the reference csv section's own delimiter
+    seenTtlMs: Option[Long] = None, // seen-key horizon; None = unbounded
+    nowMs: () => Long = () => System.currentTimeMillis(), // injectable clock
 ) {
 
   import spark.implicits._
@@ -54,12 +63,22 @@ final class KgSession(
 
   private val store = new CheckpointStore(spark, s"$outDir/_graft_checkpoint")
 
-  /** Latest committed version per key space (resumes across sessions). */
+  /** Latest committed version per key space (resumes across sessions).
+    * Discovered by LISTING (not by probing v1 upward): compaction deletes
+    * superseded versions, so the live version is the max committed vN, and
+    * lower numbers may be holes. */
   private val version: scala.collection.mutable.Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
     val m = scala.collection.mutable.Map[String, Int]()
     Seq("seen_node_ids", "seen_edge_keys", "seen_rel_keys").foreach { space =>
-      var v = 0
-      while (store.isCommitted(s"$space/v${v + 1}")) v += 1
+      val base = java.nio.file.Paths.get(s"$outDir/_graft_checkpoint", s"stage=$space")
+      val v =
+        if (!java.nio.file.Files.isDirectory(base)) 0
+        else java.nio.file.Files.list(base).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+          .filter(n => store.isCommitted(s"$space/v$n"))
+          .maxOption.getOrElse(0)
       m(space) = v
     }
     m
@@ -71,24 +90,49 @@ final class KgSession(
       case v => Some(store.read(s"$space/v$v"))
     }
 
-  /** Anti-join `keyed` (payload + one `_k` column) against the seen set,
-    * run `use` on the fresh rows, then commit seen ∪ fresh as the next
-    * snapshot version. The fresh set is cached for the two consumers and
-    * unpersisted afterwards — no growing union lineage, no leaked caches. */
+  /** The LIVE (non-expired) seen keys as of `now`: snapshots carry a `_ts`
+    * last-seen stamp; with a TTL configured, keys unseen for the horizon
+    * are forgotten — the batch-session twin of the streaming state TTL
+    * (exact-within-horizon; VERDICT r4 #9). Pre-TTL snapshots (no `_ts`
+    * column) are treated as just-seen. */
+  private def seenLive(space: String, now: Long): Option[DataFrame] =
+    seen(space).map { s =>
+      val withTs = if (s.columns.contains("_ts")) s else s.withColumn("_ts", lit(now))
+      seenTtlMs match {
+        case Some(ttl) => withTs.filter(col("_ts") >= now - ttl)
+        case None      => withTs
+      }
+    }
+
+  /** Anti-join `keyed` (payload + one `_k` column, distinct per key after
+    * the upstream dedup) against the live seen set, run `use` on the fresh
+    * rows, then commit the COMPACTED next snapshot: live-and-not-resighted
+    * keys keep their stamp, every key in this batch (fresh or resighted)
+    * refreshes to now, expired keys drop out, and the superseded snapshot
+    * version is deleted — one live snapshot per key space, bounded by the
+    * TTL horizon. */
   private def withFresh[T](space: String, keyed: DataFrame)(use: DataFrame => T): T = {
-    val fresh = seen(space) match {
+    val now = nowMs()
+    val live = seenLive(space, now)
+    val fresh = live match {
       case Some(s) => keyed.join(s.select("_k"), Seq("_k"), "left_anti")
       case None    => keyed
     }
     val freshCached = fresh.cache()
     try {
       val r = use(freshCached)
-      val nextKeys = seen(space) match {
-        case Some(s) => s.select("_k").union(freshCached.select("_k"))
-        case None    => freshCached.select("_k")
+      val incoming = keyed.select(col("_k")).withColumn("_ts", lit(now))
+      val nextKeys = live match {
+        case Some(s) =>
+          s.select(col("_k"), col("_ts"))
+            .join(incoming.select("_k"), Seq("_k"), "left_anti")
+            .select(col("_k"), col("_ts"))
+            .union(incoming)
+        case None => incoming
       }
       val v = version(space) + 1
       store.commit(s"$space/v$v", nextKeys)
+      store.drop(s"$space/v${v - 1}") // compaction: one live snapshot
       version(space) = v
       r
     } finally freshCached.unpersist(blocking = false)

@@ -37,15 +37,64 @@ object SparkEntry {
     ivfCentCache.computeIfAbsent(dir,
       _ => AnnOps.ivfTrainCentroids(tbl(s, dir, "embeddings"), nList = 16))
 
+  /** Scratch dir for index/artifact staging, resolved through the Hadoop
+    * FileSystem API (VERDICT r4 #7 — no java.nio path assumptions in the
+    * harness): `SPARK_GRAFT_WORK_DIR` when set (any Hadoop-supported
+    * filesystem), else the JVM temp dir. */
+  private def workDir(s: SparkSession, tag: String): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_WORK_DIR", System.getProperty("java.io.tmpdir"))
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(base),
+      s"graft-$tag-" + java.util.UUID.randomUUID().toString.take(8))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+    p.toString
+  }
+
   /** The persisted ivf_cid-partitioned index, built once per corpus from
     * the shared centroids. */
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      val tmp = workDir(s, "ivf")
       AnnOps.writeIvfIndex(tbl(s, dir, "embeddings"), ivfCents(s, dir), tmp)
       tmp
     })
+
+  /** The LSH candidate-pair set is a dedup-family ARTIFACT (VERDICT r4 #3):
+    * candidates/clusters/verified/apply all consume one computed set per
+    * corpus dir, eagerly materialized via localCheckpoint — exactly the
+    * ivfCentCache discipline (candidates belong to an artifact, not a
+    * query). */
+  private val lshCandCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def lshCandArtifact(s: SparkSession, dir: String): DataFrame =
+    lshCandCache.computeIfAbsent(dir, _ =>
+      DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8)
+        .localCheckpoint())
+
+  /** Near-dup cluster assignment derived from the shared candidate set. */
+  private val dedupClusterCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def dedupClustersArtifact(s: SparkSession, dir: String): DataFrame =
+    dedupClusterCache.computeIfAbsent(dir, _ =>
+      DedupOps.dedupClusters(lshCandArtifact(s, dir)).localCheckpoint())
+
+  /** Learned BPE merge table per corpus dir (tokenizer-training artifact:
+    * one word-frequency aggregate + driver-side greedy merging over the
+    * capped dict). */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(dir, _ =>
+      TextOps.bpeLearnMerges(tbl(s, dir, "documents"), nMerges = 12))
+
+  /** One-time per-corpus artifact builds, exposed so Bench can time them as
+    * their own `artifact_build` lines instead of folding the cost into
+    * whichever consumer query runs first (VERDICT r4 #8). */
+  def artifactBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "ivf_centroids" -> ((s, dir) => { ivfCents(s, dir); () }),
+    "ivf_index" -> ((s, dir) => { ivfIndex(s, dir); () }),
+    "lsh_candidates" -> ((s, dir) => { lshCandArtifact(s, dir); () }),
+    "dedup_clusters" -> ((s, dir) => { dedupClustersArtifact(s, dir); () }),
+    "bpe_merges" -> ((s, dir) => { bpeMerges(s, dir); () }),
+  )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational baseline (scan/filter/agg/join/window/top-k) --
@@ -98,6 +147,39 @@ object SparkEntry {
     "kg_nodes" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
+        .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
+    }),
+    "kg_stream_nodes" -> ((s, dir) => {
+      // streaming slice, batch-twin oracled (VERDICT r4 #6): the SAME docs
+      // corpus ingested as a Structured Streaming file source (one file per
+      // micro-batch), run through the streaming mention->translate->
+      // cross-batch-dedup slice into a memory sink, must equal the batch
+      // pipeline's node set EXACTLY — the oracle is kg_nodes' oracle
+      import s.implicits._
+      val pipe = KgPipeline.analytics(s)
+      // the test table is a single parquet FILE; the file stream source
+      // wants a DIRECTORY, so stage the same corpus as 8 files — which
+      // also makes this a real multi-micro-batch run (maxFilesPerTrigger=1
+      // -> 8 batches, so the cross-batch dedup state actually works)
+      val streamIn = workDir(s, "stream-in")
+      val batchDocs = s.read.parquet(s"$dir/documents.parquet")
+      batchDocs.repartition(8).write.mode("overwrite").parquet(streamIn)
+      val docsStream = Corpus.fromDocumentsTable(
+        s.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(streamIn))
+      // ttl = null: processing-time TTL timers schedule no-data micro-
+      // batches forever, so a drain-and-stop harness run never settles;
+      // the TTL path has its own spec (StreamingSpec), and unbounded state
+      // is exact — which is what a batch-equality check needs anyway
+      val nodes = graft.streaming.Streaming.ingestNodesStream(
+        docsStream, pipe.bcDict, pipe.bcCtx, ttl = null)
+      val sinkName = "kg_stream_nodes_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = nodes.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", workDir(s, "stream-ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName)
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
     }),
     "kg_triples" -> ((s, dir) => {
@@ -170,6 +252,61 @@ object SparkEntry {
         "MATCH (d:document)-[r:cooccurs]->(x) RETURN d",
       ).map(q => (q, ctx.translateQuery(q))).toDF("query", "translated")
     }),
+    "kg_edge_dedup" -> ((s, dir) => {
+      // O8: per-label edge dedup keyed on coalesce(relId, src_tgt)
+      // (reference: _deduplicate.py:54-81). A deterministic duplicate-heavy
+      // edge stream derived from the corpus ids: every column is a function
+      // of the dedup key, so the surviving row is deterministic
+      import s.implicits._
+      val raw = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("d")).as[Long]
+        .map { d =>
+          val hasRel = d % 3 == 0
+          val m = if (hasRel) d % 40 else d % 20
+          graft.model.KgEdge(
+            if (hasRel) s"r$m" else null,
+            s"s${m % 20}", s"t${m % 10}",
+            if (m % 2 == 0) "uses" else "reads",
+            graft.model.Props.empty)
+        }
+      graft.dedup.Dedup.edges(raw)
+        .select(coalesce(col("relId"), lit("-")).as("rel_id"),
+          col("src"), col("tgt"), col("label"))
+    }),
+    "kg_rel_as_node" -> ((s, dir) => {
+      // O6/O9: rel-as-node reification end-to-end — synthetic node ids
+      // (src_tgt_props concat; reference golden `G15258_G16347_True_-1`,
+      // test_translate.py:125), IS_SOURCE_OF/IS_TARGET_OF for directed
+      // edges, IS_PART_OF pairs otherwise, deduped on (label, node id)
+      import s.implicits._
+      val pipe = KgPipeline.analytics(s)
+      val raw = tbl(s, dir, "documents")
+        .select((col("doc_id") % 25).cast("long").as("m")).distinct().as[Long]
+        .map { m =>
+          graft.model.RawEdge(null, s"G${m % 4}", s"H${m % 3}", "derives",
+            graft.model.Props.of(
+              "directed" -> graft.model.PV.bool(m % 2 == 0),
+              "effect" -> graft.model.PV.int(m % 3 - 1)))
+        }
+      val rels = graft.translate.Translate.edges(raw, pipe.bcCtx)
+        .filter(_.rel != null).map(_.rel)
+      graft.dedup.Dedup.relAsNodes(rels).select(
+        col("node.id").as("node_id"), col("node.label").as("node_label"),
+        col("sourceEdge.src").as("src"), col("targetEdge.src").as("tgt"),
+        col("sourceEdge.label").as("src_edge_label"),
+        col("targetEdge.label").as("tgt_edge_label"))
+    }),
+    "kg_sanitize" -> ((s, dir) => {
+      // O16: Neo4j label sanitization + file-label composition over the
+      // reference's own golden cases (test_neo4j.py:1021-1033)
+      import s.implicits._
+      Seq("Compliant_Label", "Non@Compl<>i(an)t_Labe#l", "15Invalid_Label",
+          "@Invalid_Label", "valid.label", "post translational interaction")
+        .map { l =>
+          val sanitized = graft.model.Naming.parseLabel(l)
+          (l, sanitized, graft.model.Naming.nameSentenceToPascal(sanitized))
+        }.toDF("label", "sanitized", "file_label")
+    }),
     "kg_node_frame" -> ((s, dir) => {
       // in-memory KG materialization (reference in_memory/_pandas.py):
       // pivoted per-label frame for one class. The deduped node table is
@@ -193,6 +330,46 @@ object SparkEntry {
         .select(col("source_id"), col("target_id"),
           col("relationship_label"), col("n_docs"))
     }),
+    "kg_import_call" -> ((s, dir) => {
+      // O13/O15: the part-file grammar + import-call codegen AS DATA. One
+      // corpus write through the shared BatchSink commit path (nodes+edges
+      // coalesced to one input partition so per-label part counts are
+      // exactly ceil(rows/batchSize) — a determinism harness choice, not
+      // the production write shape), then every batch sink's generated
+      // import script line by line. filePrefix pinned so the scripts are
+      // location-independent (reference scripts: test_neo4j.py:127-138).
+      import s.implicits._
+      val cfg = KgConfig(batchSize = 5000L, importCallFilePrefix = Some("/data/kg"))
+      val ctx = AnalyticsDomain.context(cfg)
+      val pipe = new KgPipeline(s, ctx, AnalyticsDomain.dict)
+      val dm = pipe.docMentions(kgDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ns = pipe.nodes(dm).coalesce(1)
+      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)).coalesce(1)
+      val out = workDir(s, "import")
+      val pg = new graft.sinks.PostgresCsvSink(ctx, out)
+      pg.writeNodes(ns)
+      pg.writeEdges(es)
+      dm.unpersist(blocking = false)
+      // the other batch sinks share the SAME part grammar on disk; they
+      // reuse the probed layouts and only differ in script codegen
+      val neo = new graft.sinks.Neo4jCsvSink(ctx, out)
+      val ar = new graft.sinks.ArangoCsvSink(ctx, out)
+      val sq = new graft.sinks.SqliteCsvSink(ctx, out)
+      Seq(neo, ar, sq).foreach { sk =>
+        sk.nodeLayouts = pg.nodeLayouts; sk.edgeLayouts = pg.edgeLayouts
+      }
+      val partRows = (pg.nodeLayouts.values ++ pg.edgeLayouts.values).toSeq
+        .flatMap(lay => pg.partsOf(lay.fileLabel)).sorted.zipWithIndex
+        .map { case (p, i) => ("parts", i.toLong, p) }
+      def script(kind: String, text: String): Seq[(String, Long, String)] =
+        text.linesIterator.zipWithIndex.map { case (l, i) => (kind, i.toLong, l) }.toSeq
+      (partRows ++ script("neo4j", neo.constructImportCall()) ++
+        script("postgres", pg.constructImportCall()) ++
+        script("sqlite", sq.constructImportCall()) ++
+        script("arango", ar.constructImportCall()))
+        .toDF("kind", "seq", "line")
+    }),
     "kg_rdf_reified" -> ((s, dir) => {
       // reified-edge triple table (reference RDF semantics: edges become
       // predicate nodes with biocypher:subject/object links, _rdf.py:127-165)
@@ -200,24 +377,36 @@ object SparkEntry {
       val dm = pipe.docMentions(kgDocs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-rdf-").toString
-      new graft.sinks.RdfSink(pipe.bcCtx.value, tmp).reifiedEdgeTriples(es)
+      new graft.sinks.RdfSink(pipe.bcCtx.value, workDir(s, "rdf")).reifiedEdgeTriples(es)
     }),
-    "dedup_lsh_candidates" -> ((s, dir) =>
-      DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8)),
-    "dedup_clusters" -> ((s, dir) =>
-      DedupOps.dedupClusters(
-        DedupOps.lshCandidates(tbl(s, dir, "documents"), n = 2, k = 16, r = 8))),
+    // the four dedup-family rows share ONE computed candidate artifact
+    // (and one derived cluster artifact) per corpus dir
+    "dedup_lsh_candidates" -> ((s, dir) => lshCandArtifact(s, dir)),
+    "dedup_clusters" -> ((s, dir) => dedupClustersArtifact(s, dir)),
     "dedup_verified" -> ((s, dir) =>
       // two-stage production shape: LSH candidates -> exact-Jaccard verify
-      DedupOps.verifiedNearDupPairs(tbl(s, dir, "documents"),
-        n = 2, k = 16, r = 8, minJ = 0.3)),
-    "dedup_apply" -> ((s, dir) => {
+      DedupOps.verifyCandidates(tbl(s, dir, "documents"),
+        lshCandArtifact(s, dir), n = 2, minJ = 0.3)),
+    "dedup_apply" -> ((s, dir) =>
       // end-to-end near-dup dedup: candidates -> clusters -> cleaned corpus
+      DedupOps.applyClusters(tbl(s, dir, "documents"), dedupClustersArtifact(s, dir))
+        .select(col("doc_id"))),
+    "dedup_recall" -> ((s, dir) => {
+      // LSH-family recall audit (VERDICT r4 #4), symmetric to
+      // ann_ivf_recall: verified near-dups vs the brute-force exact-Jaccard
+      // ground truth at the same (n, minJ) — the number that justifies
+      // (k, r, maxBucket) at scale. Ground truth disables the stop-shingle
+      // df cap so the baseline is the uncapped all-pairs truth.
       val docs = tbl(s, dir, "documents")
-      DedupOps.applyClusters(docs,
-          DedupOps.dedupClusters(DedupOps.lshCandidates(docs, n = 2, k = 16, r = 8)))
-        .select(col("doc_id"))
+      val truth = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.3, maxDf = 1000000)
+        .select(col("doc_a"), col("doc_b"))
+      val got = DedupOps.verifyCandidates(docs, lshCandArtifact(s, dir), n = 2, minJ = 0.3)
+        .select(col("doc_a"), col("doc_b")).withColumn("_hit", lit(1L))
+      truth.join(got, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -236,6 +425,14 @@ object SparkEntry {
     // -- training-data ops: text analysis --
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "text_tokens_bpe" -> ((s, dir) => TextOps.bpeTokenCounts(tbl(s, dir, "documents"))),
+    "text_bpe_encode" -> ((s, dir) => {
+      // real BPE (VERDICT r4 #5): merge table learned from the corpus
+      // (shared per-dir artifact), applied as a rank-ordered replace chain
+      // over the DISTINCT words, broadcast-joined back — encode-the-vocab,
+      // never encode-every-occurrence
+      val merges = bpeMerges(s, dir)
+      TextOps.bpeEncode(tbl(s, dir, "documents"), merges, TextOps.bpeVocab(merges))
+    }),
     "text_quality" -> ((s, dir) => TextOps.qualityScores(tbl(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(tbl(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
@@ -418,6 +615,37 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The BPE merge table [[TextOps.bpeLearnMerges]] learns from the sf0.01
+    * corpus (nMerges=12), frozen as the oracle's golden — the same
+    * precedent as kg_headers' VALUES. The oracle re-applies these merges
+    * independently in SQL (rank-ordered left-to-right `replace` over the
+    * leading-space symbol string); the learning loop itself is spec-tested
+    * against a hand-computed example (BpeSpec). */
+  private val BpeMergesSf001: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er",
+    "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in")
+
+  private def bpeOracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = BpeMergesSf001.foldLeft("' '||array_to_string(string_split(w,''),' ')") {
+      case (acc, (a, b)) => s"replace($acc, ' ${esc(a)} ${esc(b)}', ' ${esc(a)}${esc(b)}')"
+    }
+    val vocab = TextOps.bpeVocab(BpeMergesSf001).toSeq.sortBy(_._2)
+      .map { case (s, i) => s"('${esc(s)}',$i)" }.mkString(", ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |ww AS (SELECT doc_id, w FROM words WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM ww),
+       |enc AS (SELECT w, string_split(trim($chain), ' ') AS syms FROM dw),
+       |vocab(sym, id) AS (VALUES $vocab),
+       |es AS (SELECT w, unnest(syms) AS sym FROM enc),
+       |eid AS (SELECT es.w, CAST(count(*) AS BIGINT) AS n_sym,
+       |        CAST(SUM(COALESCE(v.id, -1)) AS BIGINT) AS w_id_sum
+       |        FROM es LEFT JOIN vocab v ON es.sym = v.sym GROUP BY es.w)
+       |SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(w_id_sum) AS BIGINT) AS id_sum
+       |FROM ww JOIN eid ON ww.w = eid.w GROUP BY doc_id""".stripMargin
+  }
+
   /** Shared CTE chain producing the capped LSH candidate pairs `cand`
     * (used by both the candidate oracle and the cluster oracle). */
   private val lshCandCtes: String =
@@ -479,6 +707,15 @@ object SparkEntry {
          |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
          |FROM documents d WHERE EXISTS (
          |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
+    // the streaming slice must land on EXACTLY the batch node set
+    "kg_stream_nodes" ->
+      s"""$dictCte
+         |SELECT DISTINCT t.curie AS id, t.cls AS label, t.pfx AS preferred_id
+         |FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |UNION ALL
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
+         |FROM documents d WHERE EXISTS (
+         |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
     "kg_triples" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
@@ -527,6 +764,7 @@ object SparkEntry {
     "kg_label_hierarchy" ->
       """SELECT * FROM (VALUES
         |  ('co occurrence', '''CoOccurrence|Association|Entity'''),
+        |  ('derivation', '''Derivation|Association|Entity'''),
         |  ('document', '''Document|Artifact|Entity'''),
         |  ('execution engine', '''ExecutionEngine|Artifact|Entity'''),
         |  ('mention', '''Mention|Association|Entity'''),
@@ -550,6 +788,35 @@ object SparkEntry {
         |  ('MATCH (d:document)-[r:cooccurs]->(x) RETURN d',
         |   'MATCH (d:Document)-[r:COOCCURS_WITH]->(x) RETURN d')
         |) AS t(query, translated)""".stripMargin,
+    "kg_edge_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 40 ELSE doc_id % 20 END AS m,
+        |    doc_id % 3 = 0 AS hasrel
+        |  FROM documents)
+        |SELECT DISTINCT CASE WHEN hasrel THEN 'r'||m ELSE '-' END AS rel_id,
+        |  's'||(m%20) AS src, 't'||(m%10) AS tgt,
+        |  CASE WHEN m%2=0 THEN 'uses' ELSE 'reads' END AS label
+        |FROM d""".stripMargin,
+    "kg_rel_as_node" ->
+      """WITH ms AS (SELECT DISTINCT doc_id % 25 AS m FROM documents),
+        |r AS (SELECT DISTINCT m%4 AS a, m%3 AS b, m%2 AS c FROM ms)
+        |SELECT 'G'||a||'_H'||b||'_'
+        |    ||(CASE WHEN c=0 THEN 'True' ELSE 'False' END)||'_'||(b-1) AS node_id,
+        |  'derivation' AS node_label,
+        |  'G'||a AS src, 'H'||b AS tgt,
+        |  CASE WHEN c=0 THEN 'IS_SOURCE_OF' ELSE 'IS_PART_OF' END AS src_edge_label,
+        |  CASE WHEN c=0 THEN 'IS_TARGET_OF' ELSE 'IS_PART_OF' END AS tgt_edge_label
+        |FROM r""".stripMargin,
+    "kg_sanitize" ->
+      """SELECT * FROM (VALUES
+        |  ('Compliant_Label', 'Compliant_Label', 'Compliant_Label'),
+        |  ('Non@Compl<>i(an)t_Labe#l', 'NonCompliant_Label', 'NonCompliant_Label'),
+        |  ('15Invalid_Label', 'Invalid_Label', 'Invalid_Label'),
+        |  ('@Invalid_Label', 'Invalid_Label', 'Invalid_Label'),
+        |  ('valid.label', 'valid.label', 'Valid.Label'),
+        |  ('post translational interaction', 'post translational interaction',
+        |   'PostTranslationalInteraction')
+        |) AS t(label, sanitized, file_label)""".stripMargin,
     "kg_node_frame" ->
       s"""$dictCte
          |SELECT DISTINCT t.curie AS node_id, t.cls AS node_label, t.term AS name
@@ -563,6 +830,153 @@ object SparkEntry {
          |  'COOCCURS_WITH' AS relationship_label, CAST(count(*) AS BIGINT) AS n_docs
          |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
          |GROUP BY a.curie, b.curie""".stripMargin,
+    // frozen from a verified sf0.01 run (kg_headers precedent): the part
+    // grammar + all four import scripts, line by line
+    "kg_import_call" ->
+      """SELECT kind, CAST(seq AS BIGINT) AS seq, line FROM (VALUES
+        |  ('arango', 0, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/Document-header.csv --file= /data/kg/Document-part000.csv '),
+        |  ('arango', 1, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/ExecutionEngine-header.csv --file= /data/kg/ExecutionEngine-part000.csv '),
+        |  ('arango', 2, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/RelationalOperator-header.csv --file= /data/kg/RelationalOperator-part000.csv '),
+        |  ('arango', 3, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/StorageStructure-header.csv --file= /data/kg/StorageStructure-part000.csv '),
+        |  ('arango', 4, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/Workload-header.csv --file= /data/kg/Workload-part000.csv '),
+        |  ('arango', 5, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/COOCCURS_WITH-header.csv --file= /data/kg/COOCCURS_WITH-part.* '),
+        |  ('arango', 6, 'arangoimp --type csv --separator=";" --quote="''" --headers-file /data/kg/MENTIONS-header.csv --file= /data/kg/MENTIONS-part.* '),
+        |  ('neo4j', 0, '#!/bin/bash'),
+        |  ('neo4j', 1, 'version=$(bin/neo4j-admin --version | cut -d ''.'' -f 1)'),
+        |  ('neo4j', 2, 'if [[ $version -ge 5 ]]; then'),
+        |  ('neo4j', 3, '	bin/neo4j-admin database import full neo4j --delimiter=";" --array-delimiter="|" --quote="''" --overwrite-destination=true --nodes="/data/kg/Document-header.csv,/data/kg/Document-part.*" --nodes="/data/kg/ExecutionEngine-header.csv,/data/kg/ExecutionEngine-part.*" --nodes="/data/kg/RelationalOperator-header.csv,/data/kg/RelationalOperator-part.*" --nodes="/data/kg/StorageStructure-header.csv,/data/kg/StorageStructure-part.*" --nodes="/data/kg/Workload-header.csv,/data/kg/Workload-part.*" --relationships="/data/kg/COOCCURS_WITH-header.csv,/data/kg/COOCCURS_WITH-part.*" --relationships="/data/kg/MENTIONS-header.csv,/data/kg/MENTIONS-part.*" '),
+        |  ('neo4j', 4, 'else'),
+        |  ('neo4j', 5, '	bin/neo4j-admin import --database=neo4j --delimiter=";" --array-delimiter="|" --quote="''" --force=true --nodes="/data/kg/Document-header.csv,/data/kg/Document-part.*" --nodes="/data/kg/ExecutionEngine-header.csv,/data/kg/ExecutionEngine-part.*" --nodes="/data/kg/RelationalOperator-header.csv,/data/kg/RelationalOperator-part.*" --nodes="/data/kg/StorageStructure-header.csv,/data/kg/StorageStructure-part.*" --nodes="/data/kg/Workload-header.csv,/data/kg/Workload-part.*" --relationships="/data/kg/COOCCURS_WITH-header.csv,/data/kg/COOCCURS_WITH-part.*" --relationships="/data/kg/MENTIONS-header.csv,/data/kg/MENTIONS-part.*" '),
+        |  ('neo4j', 6, 'fi'),
+        |  ('parts', 0, 'COOCCURS_WITH-part000.csv'),
+        |  ('parts', 1, 'Document-part000.csv'),
+        |  ('parts', 2, 'ExecutionEngine-part000.csv'),
+        |  ('parts', 3, 'MENTIONS-part000.csv'),
+        |  ('parts', 4, 'MENTIONS-part001.csv'),
+        |  ('parts', 5, 'RelationalOperator-part000.csv'),
+        |  ('parts', 6, 'StorageStructure-part000.csv'),
+        |  ('parts', 7, 'Workload-part000.csv'),
+        |  ('postgres', 0, 'echo "Setup /data/kg/document-create_table.sql..."'),
+        |  ('postgres', 1, 'PGPASSWORD=postgres psql -f /data/kg/document-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 2, 'echo "Done!"'),
+        |  ('postgres', 3, ''),
+        |  ('postgres', 4, 'echo "Setup /data/kg/executionengine-create_table.sql..."'),
+        |  ('postgres', 5, 'PGPASSWORD=postgres psql -f /data/kg/executionengine-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 6, 'echo "Done!"'),
+        |  ('postgres', 7, ''),
+        |  ('postgres', 8, 'echo "Setup /data/kg/relationaloperator-create_table.sql..."'),
+        |  ('postgres', 9, 'PGPASSWORD=postgres psql -f /data/kg/relationaloperator-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 10, 'echo "Done!"'),
+        |  ('postgres', 11, ''),
+        |  ('postgres', 12, 'echo "Setup /data/kg/storagestructure-create_table.sql..."'),
+        |  ('postgres', 13, 'PGPASSWORD=postgres psql -f /data/kg/storagestructure-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 14, 'echo "Done!"'),
+        |  ('postgres', 15, ''),
+        |  ('postgres', 16, 'echo "Setup /data/kg/workload-create_table.sql..."'),
+        |  ('postgres', 17, 'PGPASSWORD=postgres psql -f /data/kg/workload-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 18, 'echo "Done!"'),
+        |  ('postgres', 19, ''),
+        |  ('postgres', 20, 'echo "Setup /data/kg/cooccurs_with-create_table.sql..."'),
+        |  ('postgres', 21, 'PGPASSWORD=postgres psql -f /data/kg/cooccurs_with-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 22, 'echo "Done!"'),
+        |  ('postgres', 23, ''),
+        |  ('postgres', 24, 'echo "Setup /data/kg/mentions-create_table.sql..."'),
+        |  ('postgres', 25, 'PGPASSWORD=postgres psql -f /data/kg/mentions-create_table.sql --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 26, 'echo "Done!"'),
+        |  ('postgres', 27, ''),
+        |  ('postgres', 28, 'echo "Importing /data/kg/Document-part000.csv..."'),
+        |  ('postgres', 29, 'PGPASSWORD=postgres psql -c "\copy document FROM ''/data/kg/Document-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 30, 'echo "Done!"'),
+        |  ('postgres', 31, ''),
+        |  ('postgres', 32, 'echo "Importing /data/kg/ExecutionEngine-part000.csv..."'),
+        |  ('postgres', 33, 'PGPASSWORD=postgres psql -c "\copy executionengine FROM ''/data/kg/ExecutionEngine-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 34, 'echo "Done!"'),
+        |  ('postgres', 35, ''),
+        |  ('postgres', 36, 'echo "Importing /data/kg/RelationalOperator-part000.csv..."'),
+        |  ('postgres', 37, 'PGPASSWORD=postgres psql -c "\copy relationaloperator FROM ''/data/kg/RelationalOperator-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 38, 'echo "Done!"'),
+        |  ('postgres', 39, ''),
+        |  ('postgres', 40, 'echo "Importing /data/kg/StorageStructure-part000.csv..."'),
+        |  ('postgres', 41, 'PGPASSWORD=postgres psql -c "\copy storagestructure FROM ''/data/kg/StorageStructure-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 42, 'echo "Done!"'),
+        |  ('postgres', 43, ''),
+        |  ('postgres', 44, 'echo "Importing /data/kg/Workload-part000.csv..."'),
+        |  ('postgres', 45, 'PGPASSWORD=postgres psql -c "\copy workload FROM ''/data/kg/Workload-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 46, 'echo "Done!"'),
+        |  ('postgres', 47, ''),
+        |  ('postgres', 48, 'echo "Importing /data/kg/COOCCURS_WITH-part000.csv..."'),
+        |  ('postgres', 49, 'PGPASSWORD=postgres psql -c "\copy cooccurs_with FROM ''/data/kg/COOCCURS_WITH-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 50, 'echo "Done!"'),
+        |  ('postgres', 51, ''),
+        |  ('postgres', 52, 'echo "Importing /data/kg/MENTIONS-part000.csv..."'),
+        |  ('postgres', 53, 'PGPASSWORD=postgres psql -c "\copy mentions FROM ''/data/kg/MENTIONS-part000.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 54, 'echo "Done!"'),
+        |  ('postgres', 55, ''),
+        |  ('postgres', 56, 'echo "Importing /data/kg/MENTIONS-part001.csv..."'),
+        |  ('postgres', 57, 'PGPASSWORD=postgres psql -c "\copy mentions FROM ''/data/kg/MENTIONS-part001.csv'' DELIMITER E'';'' CSV;" --dbname neo4j --host localhost --port 5432 --user postgres'),
+        |  ('postgres', 58, 'echo "Done!"'),
+        |  ('postgres', 59, ''),
+        |  ('sqlite', 0, 'echo "Setup /data/kg/document-create_table.sql..."'),
+        |  ('sqlite', 1, 'sqlite3 neo4j < /data/kg/document-create_table.sql'),
+        |  ('sqlite', 2, 'echo "Done!"'),
+        |  ('sqlite', 3, ''),
+        |  ('sqlite', 4, 'echo "Setup /data/kg/executionengine-create_table.sql..."'),
+        |  ('sqlite', 5, 'sqlite3 neo4j < /data/kg/executionengine-create_table.sql'),
+        |  ('sqlite', 6, 'echo "Done!"'),
+        |  ('sqlite', 7, ''),
+        |  ('sqlite', 8, 'echo "Setup /data/kg/relationaloperator-create_table.sql..."'),
+        |  ('sqlite', 9, 'sqlite3 neo4j < /data/kg/relationaloperator-create_table.sql'),
+        |  ('sqlite', 10, 'echo "Done!"'),
+        |  ('sqlite', 11, ''),
+        |  ('sqlite', 12, 'echo "Setup /data/kg/storagestructure-create_table.sql..."'),
+        |  ('sqlite', 13, 'sqlite3 neo4j < /data/kg/storagestructure-create_table.sql'),
+        |  ('sqlite', 14, 'echo "Done!"'),
+        |  ('sqlite', 15, ''),
+        |  ('sqlite', 16, 'echo "Setup /data/kg/workload-create_table.sql..."'),
+        |  ('sqlite', 17, 'sqlite3 neo4j < /data/kg/workload-create_table.sql'),
+        |  ('sqlite', 18, 'echo "Done!"'),
+        |  ('sqlite', 19, ''),
+        |  ('sqlite', 20, 'echo "Setup /data/kg/cooccurs_with-create_table.sql..."'),
+        |  ('sqlite', 21, 'sqlite3 neo4j < /data/kg/cooccurs_with-create_table.sql'),
+        |  ('sqlite', 22, 'echo "Done!"'),
+        |  ('sqlite', 23, ''),
+        |  ('sqlite', 24, 'echo "Setup /data/kg/mentions-create_table.sql..."'),
+        |  ('sqlite', 25, 'sqlite3 neo4j < /data/kg/mentions-create_table.sql'),
+        |  ('sqlite', 26, 'echo "Done!"'),
+        |  ('sqlite', 27, ''),
+        |  ('sqlite', 28, 'echo "Importing /data/kg/Document-part000.csv..."'),
+        |  ('sqlite', 29, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/Document-part000.csv document"'),
+        |  ('sqlite', 30, 'echo "Done!"'),
+        |  ('sqlite', 31, ''),
+        |  ('sqlite', 32, 'echo "Importing /data/kg/ExecutionEngine-part000.csv..."'),
+        |  ('sqlite', 33, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/ExecutionEngine-part000.csv executionengine"'),
+        |  ('sqlite', 34, 'echo "Done!"'),
+        |  ('sqlite', 35, ''),
+        |  ('sqlite', 36, 'echo "Importing /data/kg/RelationalOperator-part000.csv..."'),
+        |  ('sqlite', 37, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/RelationalOperator-part000.csv relationaloperator"'),
+        |  ('sqlite', 38, 'echo "Done!"'),
+        |  ('sqlite', 39, ''),
+        |  ('sqlite', 40, 'echo "Importing /data/kg/StorageStructure-part000.csv..."'),
+        |  ('sqlite', 41, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/StorageStructure-part000.csv storagestructure"'),
+        |  ('sqlite', 42, 'echo "Done!"'),
+        |  ('sqlite', 43, ''),
+        |  ('sqlite', 44, 'echo "Importing /data/kg/Workload-part000.csv..."'),
+        |  ('sqlite', 45, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/Workload-part000.csv workload"'),
+        |  ('sqlite', 46, 'echo "Done!"'),
+        |  ('sqlite', 47, ''),
+        |  ('sqlite', 48, 'echo "Importing /data/kg/COOCCURS_WITH-part000.csv..."'),
+        |  ('sqlite', 49, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/COOCCURS_WITH-part000.csv cooccurs_with"'),
+        |  ('sqlite', 50, 'echo "Done!"'),
+        |  ('sqlite', 51, ''),
+        |  ('sqlite', 52, 'echo "Importing /data/kg/MENTIONS-part000.csv..."'),
+        |  ('sqlite', 53, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/MENTIONS-part000.csv mentions"'),
+        |  ('sqlite', 54, 'echo "Done!"'),
+        |  ('sqlite', 55, ''),
+        |  ('sqlite', 56, 'echo "Importing /data/kg/MENTIONS-part001.csv..."'),
+        |  ('sqlite', 57, 'sqlite3 -separator $'';'' neo4j ".import /data/kg/MENTIONS-part001.csv mentions"'),
+        |  ('sqlite', 58, 'echo "Done!"'),
+        |  ('sqlite', 59, '')
+        |) AS t(kind, seq, line)""".stripMargin,
     "kg_rdf_reified" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
@@ -597,6 +1011,35 @@ object SparkEntry {
          |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.doc_id)
          |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "dedup_recall" ->
+      s"""WITH $lshCandCtes,
+         |hs AS (SELECT DISTINCT doc_id, hv FROM h),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN hs x ON x.doc_id = c.doc_a
+         |  JOIN hs y ON y.doc_id = c.doc_b AND x.hv = y.hv
+         |  GROUP BY c.doc_a, c.doc_b),
+         |got AS (SELECT m.doc_a, m.doc_b FROM common m
+         |  JOIN cnt ca ON ca.doc_id = m.doc_a
+         |  JOIN cnt cb ON cb.doc_id = m.doc_b
+         |  WHERE CAST(m.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.n_common) >= 0.3),
+         |tsh AS (SELECT DISTINCT doc_id,
+         |         ('0x'||substr(md5(array_to_string(list_slice(t, i, i+1), ' ')),1,14))::BIGINT AS shv
+         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+         |       WHERE len(t) >= 2),
+         |tcnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+         |tp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+         |       FROM tsh x JOIN tsh y ON x.shv = y.shv AND x.doc_id < y.doc_id
+         |       GROUP BY x.doc_id, y.doc_id),
+         |truth AS (SELECT doc_a, doc_b FROM tp
+         |  JOIN tcnt ca ON doc_a = ca.doc_id JOIN tcnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE)/(ca.n_sh + cb.n_sh - n_common) >= 0.3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN got g ON t.doc_a = g.doc_a AND t.doc_b = g.doc_b""".stripMargin,
     "dedup_verified" ->
       s"""WITH $lshCandCtes,
          |hs AS (SELECT DISTINCT doc_id, hv FROM h),
@@ -670,6 +1113,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "text_bpe_encode" -> bpeOracleSql,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -50,6 +50,14 @@ final class CheckpointStore(spark: SparkSession, rootDir: String) {
     back
   }
 
+  /** Remove a committed snapshot (compaction); no-op when absent. */
+  def drop(stage: String): Unit = {
+    val dir = stageDir(stage)
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+  }
+
   /** Read a committed snapshot (stage must be committed). */
   def read(stage: String): DataFrame = {
     require(isCommitted(stage), s"stage $stage is not committed")

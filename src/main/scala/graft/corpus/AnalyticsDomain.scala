@@ -50,6 +50,13 @@ object AnalyticsDomain {
       |  represented_as: edge
       |  label_as_edge: COOCCURS_WITH
       |  input_label: cooccurs
+      |derivation:
+      |  is_a: association
+      |  represented_as: node
+      |  input_label: derives
+      |  properties:
+      |    directed: bool
+      |    effect: int
       |""".stripMargin
 
   val ontologyTtl: String =
@@ -65,6 +72,7 @@ object AnalyticsDomain {
       |:StorageStructure a owl:Class ; rdfs:subClassOf :Artifact ; rdfs:label "storage structure" .
       |:ExecutionEngine a owl:Class ; rdfs:subClassOf :Artifact ; rdfs:label "execution engine" .
       |:Document a owl:Class ; rdfs:subClassOf :Artifact ; rdfs:label "document" .
+      |:Derivation a owl:Class ; rdfs:subClassOf :Association ; rdfs:label "derivation" .
       |""".stripMargin
 
   /** (surface form, class input_label, curie prefix). Deterministic order. */

@@ -353,6 +353,19 @@ object Mentions {
     }
   }
 
+  /** Entity AND document nodes from text mentions, one narrow pass: per
+    * occurrence, the CURIE entity node plus its document's node (the
+    * streaming twin of the batch path's entity-distinct + doc-distinct —
+    * downstream cross-batch dedup collapses the repeats). */
+  def toRawNodesWithDocs(mentions: Dataset[Mention]): Dataset[RawNode] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[RawNode]
+    mentions.filter(_.cls != "media").flatMap { m =>
+      Seq(
+        RawNode(m.curie, m.cls, Props.of("name" -> PV.str(m.surface))),
+        RawNode(m.doc_id, "document", Props.empty))
+    }
+  }
+
   /** Entity nodes from text mentions: canonical id = CURIE; the surface and
     * detection stats become properties downstream of dedup. */
   def toRawNodes(mentions: Dataset[Mention]): Dataset[RawNode] = {

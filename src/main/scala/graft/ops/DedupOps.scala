@@ -167,8 +167,15 @@ object DedupOps {
     * table to candidate docs (few, bucket-capped), then scores each pair
     * with one array intersection — no new corpus shuffle, no self-join. */
   def verifiedNearDupPairs(documents: DataFrame, n: Int = 2, k: Int = 16,
-      r: Int = 8, maxBucket: Int = 64, minJ: Double = 0.3): DataFrame = {
-    val cand = lshCandidates(documents, n, k, r, maxBucket)
+      r: Int = 8, maxBucket: Int = 64, minJ: Double = 0.3): DataFrame =
+    verifyCandidates(documents, lshCandidates(documents, n, k, r, maxBucket), n, minJ)
+
+  /** The verification stage alone: exact n-gram Jaccard over an already-
+    * computed candidate-pair set. Split out so one candidate ARTIFACT can
+    * feed candidates/clusters/verify/apply without recomputing the LSH
+    * pipeline per consumer (VERDICT r4 #3). */
+  def verifyCandidates(documents: DataFrame, cand: DataFrame, n: Int,
+      minJ: Double): DataFrame = {
     val sets = shingleHashes(documents, n)
       .select(col("doc_id"), array_sort(array_distinct(col("hv"))).as("hs"))
     val candDocs = cand.select(col("doc_a").as("doc_id"))

@@ -134,6 +134,111 @@ object TextOps {
     )
   }
 
+  // ------------------------------------------------------------------ BPE
+
+  /** Learn a byte-pair-encoding merge table (Sennrich-style) from the
+    * corpus. The corpus first collapses to its word-frequency dict — one
+    * distinct+count aggregate; with the `maxVocab` cap the dict is
+    * dimension-sized for any real corpus (the standard BPE-learning input) —
+    * then merges are derived greedily on the driver: per round, the most
+    * frequent adjacent symbol pair wins (ties -> lexicographically smallest
+    * pair), and is applied left-to-right non-overlapping. Fully
+    * deterministic. Returns merges in rank order.
+    */
+  def bpeLearnMerges(documents: DataFrame, nMerges: Int,
+      maxVocab: Int = 4096): Seq[(String, String)] = {
+    val wf = documents.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    while (round < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      if (counts.isEmpty) round = nMerges
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, f) => (applyMergeLR(syms, best), f) }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge applied left-to-right, non-overlapping — the convention both
+    * the learner and the encoder (and the SQL oracle's `replace`) share. */
+  private def applyMergeLR(syms: Array[String], m: (String, String)): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += (m._1 + m._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Vocabulary of a merge table: the base character alphabet (sorted)
+    * followed by the merge outputs in rank order; id = position. */
+  def bpeVocab(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = merges.flatMap { case (a, b) => (a + b).split("").toSeq }
+      .filter(_.nonEmpty).distinct.sorted
+    val syms = base ++ merges.map { case (a, b) => a + b }
+    syms.distinct.zipWithIndex.toMap
+  }
+
+  /** Catalyst BPE word encoder: the word becomes its leading-space symbol
+    * string (" h e l l o"), then each merge in RANK ORDER is one
+    * left-to-right non-overlapping literal replace — the classic Sennrich
+    * encode, expressed as a codegen'd regexp_replace chain. Leading-space
+    * (not surrounding-space) delimiting keeps adjacent merge sites
+    * independent: replacing " l l" in " l l l l" leaves " ll ll", where a
+    * surrounding-space pattern would consume the shared delimiter and skip
+    * every other site. Returns the symbol ARRAY column. */
+  def bpeEncodeSymbols(word: Column, merges: Seq[(String, String)]): Column = {
+    // Spark's split("", -1) keeps a trailing empty element (DuckDB's does
+    // not) — drop empties so both sides see the same symbol string
+    val spaced = concat(lit(" "),
+      array_join(filter(split(word, ""), c => c =!= lit("")), " "))
+    val encoded = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      regexp_replace(acc,
+        lit(java.util.regex.Pattern.quote(s" $a $b")), lit(s" $a$b"))
+    }
+    split(trim(encoded), " ")
+  }
+
+  /** Corpus BPE encoding summary: (doc_id, n_bpe_tokens, id_sum). The
+    * expensive regexp chain runs once per DISTINCT word (the vocab is
+    * dimension-sized; at 100 TB this is encode-the-vocab + broadcast-join,
+    * never encode-every-occurrence), then per-doc aggregation of the two
+    * exact-integer summaries. Symbols outside `vocabIds` map to -1. */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int]): DataFrame = {
+    val ids = typedLit(vocabIds)
+    val encoded = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .select(col("w"), bpeEncodeSymbols(col("w"), merges).as("syms"))
+      .select(col("w"),
+        size(col("syms")).cast("long").as("n_sym"),
+        aggregate(
+          transform(col("syms"), s => coalesce(element_at(ids, s), lit(-1)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("w_id_sum"))
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(encoded), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"), sum(col("w_id_sum")).as("id_sum"))
+  }
+
   /** RE2-compatible PII patterns (no lookarounds/backrefs, so Java regex
     * and the DuckDB oracle agree). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

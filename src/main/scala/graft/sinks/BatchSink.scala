@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Path, Paths}
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -232,11 +231,8 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
     writeEdges(ds.flatMap(r => Seq(r.sourceEdge, r.targetEdge)))
   }
 
-  def writeImportCall(): String = {
-    val p = Paths.get(outDir, importScriptName)
-    writeDriverFile(p, constructImportCall())
-    p.toString
-  }
+  def writeImportCall(): String =
+    writeDriverFile(outDir, importScriptName, constructImportCall())
 
   /** Part files of a label, sorted (for import-call assembly). */
   def partsOf(fileLabel: String): Seq[String] = {
@@ -323,12 +319,21 @@ object BatchSink {
       spark.sparkContext.parallelize(moves, slices).foreach { case (src, dst) =>
         val sp = new Path(src); val dp = new Path(dst)
         val efs = sp.getFileSystem(confSer.value)
-        if (efs.exists(sp)) {
-          if (efs.exists(dp)) efs.delete(dp, false) // replace (retry of a half-done move)
-          if (!efs.rename(sp, dp))
+        if (!efs.exists(sp)) {
+          // a prior attempt already moved it — idempotent success, as long
+          // as the target is really there
+          if (!efs.exists(dp))
+            throw new IllegalStateException(s"rename lost: $src -> $dst")
+        } else {
+          // replace a leftover dp ONLY while sp still exists: a zombie or
+          // speculative twin whose source is gone must never delete the
+          // target its sibling just committed (ADVICE r4)
+          if (efs.exists(dp)) efs.delete(dp, false)
+          // a concurrent twin may still win between the checks: rename
+          // failure with the source gone and the target present IS success
+          if (!efs.rename(sp, dp) && !(efs.exists(dp) && !efs.exists(sp)))
             throw new IllegalStateException(s"rename failed: $src -> $dst")
-        } else if (!efs.exists(dp))
-          throw new IllegalStateException(s"rename lost: $src -> $dst")
+        }
       }
     }
     fs.delete(tmp, true)
@@ -348,14 +353,20 @@ object BatchSink {
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Small driver-written artifacts (headers, import scripts) — also via
-    * the Hadoop API so they land next to the part files on any filesystem. */
-  def writeDriverFile(p: Path, content: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(p.toString)
+    * the Hadoop API so they land next to the part files on any filesystem.
+    * Takes (outDir, fileName) and joins them with Hadoop `Path`, NOT
+    * java.nio `Paths.get`, which collapses the `//` in URI outDirs
+    * (`s3a://bucket/dir` -> `s3a:/bucket/dir`, losing the authority —
+    * ADVICE r4). Returns the full path written. */
+  def writeDriverFile(outDir: String, fileName: String, content: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val hp = new org.apache.hadoop.fs.Path(dir, fileName)
     val fs = hp.getFileSystem(hadoopConf())
-    if (hp.getParent != null) fs.mkdirs(hp.getParent)
+    fs.mkdirs(dir)
     val os = fs.create(hp, true)
     try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+    hp.toString
   }
 
   /** Property-set consistency check (reference: _batch_writer.py:598-619). */

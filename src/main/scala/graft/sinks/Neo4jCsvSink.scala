@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.Paths
 import graft.KgContext
 import graft.model.Naming
 
@@ -32,13 +31,13 @@ class Neo4jCsvSink(ctx: KgContext, outDir: String) extends BatchSink(ctx, outDir
   override def writeHeaders(): Unit = {
     nodeLayouts.values.foreach { lay =>
       val cols = Vector(":ID") ++ headerProps(lay) ++ Vector(":LABEL")
-      writeDriverFile(Paths.get(outDir, s"${lay.fileLabel}-header.csv"), cols.mkString(delim))
+      writeDriverFile(outDir, s"${lay.fileLabel}-header.csv", cols.mkString(delim))
     }
     edgeLayouts.values.foreach { lay =>
       val cols = Vector(":START_ID") ++
         (if (lay.skipId) Vector.empty else Vector("id")) ++
         headerProps(lay) ++ Vector(":END_ID", ":TYPE")
-      writeDriverFile(Paths.get(outDir, s"${lay.fileLabel}-header.csv"), cols.mkString(delim))
+      writeDriverFile(outDir, s"${lay.fileLabel}-header.csv", cols.mkString(delim))
     }
   }
 
@@ -101,11 +100,11 @@ class ArangoCsvSink(ctx: KgContext, outDir: String) extends Neo4jCsvSink(ctx, ou
   override def writeHeaders(): Unit = {
     nodeLayouts.values.foreach { lay =>
       val cols = Vector("_key") ++ lay.propKeys
-      writeDriverFile(Paths.get(outDir, s"${lay.fileLabel}-header.csv"), cols.mkString(delim))
+      writeDriverFile(outDir, s"${lay.fileLabel}-header.csv", cols.mkString(delim))
     }
     edgeLayouts.values.foreach { lay =>
       val cols = Vector("_from", "_key") ++ lay.propKeys ++ Vector("_to")
-      writeDriverFile(Paths.get(outDir, s"${lay.fileLabel}-header.csv"), cols.mkString(delim))
+      writeDriverFile(outDir, s"${lay.fileLabel}-header.csv", cols.mkString(delim))
     }
   }
 

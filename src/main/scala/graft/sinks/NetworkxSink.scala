@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.Paths
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import graft.KgContext
@@ -83,9 +82,6 @@ final class NetworkxSink(
 
   def importScriptName: String = "import_networkx.py"
 
-  def writeImportCall(): String = {
-    val p = Paths.get(outDir, importScriptName)
-    BatchSink.writeDriverFile(p, constructImportCall())
-    p.toString
-  }
+  def writeImportCall(): String =
+    BatchSink.writeDriverFile(outDir, importScriptName, constructImportCall())
 }

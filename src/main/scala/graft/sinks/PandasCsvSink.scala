@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
@@ -32,8 +31,8 @@ final class PandasCsvSink(
     entityType.replace(" ", "_").replace(".", "_")
 
   private def writeFrame(entityType: String, df: DataFrame, orderCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val stem = fileStem(entityType)
-    val target = Paths.get(outDir, s"$stem.csv")
     // accumulate across calls like the reference's growing pandas frame:
     // session dedup makes each call's rows disjoint, so a second write of
     // the same type APPENDS (header skipped, index continued). The row
@@ -49,21 +48,38 @@ final class PandasCsvSink(
     val w = Window.orderBy(col(orderCol))
     val indexed = df.withColumn("", row_number().over(w) - 1 + existingRows)
       .select(col("") +: df.columns.map(col): _*)
-    val tmp = Files.createTempDirectory("graft-csv-").toString
+    // all file assembly through the Hadoop FileSystem API (no java.nio:
+    // Paths.get collapses URI authorities, and appends must work where the
+    // store has no POSIX append — the merged file is rebuilt and renamed in)
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(BatchSink.hadoopConf())
+    fs.mkdirs(out)
+    val target = new Path(out, s"$stem.csv")
+    val tmp = new Path(out, "_graft_csv_tmp_" + java.util.UUID.randomUUID().toString.take(8))
     indexed.coalesce(1).write.mode("overwrite")
-      .option("header", existingRows == 0).option("sep", delimiter).csv(tmp)
-    val out = Paths.get(outDir)
-    Files.createDirectories(out)
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(tmp)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .foreach { f =>
-        if (existingRows == 0)
-          Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-        else
-          Files.write(target, Files.readAllBytes(f),
-            java.nio.file.StandardOpenOption.APPEND)
+      .option("header", existingRows == 0).option("sep", delimiter).csv(tmp.toString)
+    fs.listStatus(tmp).find(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        if (existingRows == 0) {
+          if (fs.exists(target)) fs.delete(target, false)
+          if (!fs.rename(st.getPath, target))
+            throw new IllegalStateException(s"rename failed: ${st.getPath} -> $target")
+        } else {
+          // append-free accumulate: concat existing + new into a sibling,
+          // then swap — works on object stores without append support
+          val merged = new Path(tmp, s"$stem.merged.csv")
+          val os = fs.create(merged, true)
+          try Seq(target, st.getPath).foreach { src =>
+            val is = fs.open(src)
+            try org.apache.hadoop.io.IOUtils.copyBytes(is, os, 65536, false)
+            finally is.close()
+          } finally os.close()
+          fs.delete(target, false)
+          if (!fs.rename(merged, target))
+            throw new IllegalStateException(s"rename failed: $merged -> $target")
+        }
       }
+    fs.delete(tmp, true)
     stored += entityType -> stem
     rowsWritten += entityType -> (existingRows + newRows)
   }
@@ -94,9 +110,6 @@ final class PandasCsvSink(
 
   def importScriptName: String = "import_pandas_csv.py"
 
-  def writeImportCall(): String = {
-    val p = Paths.get(outDir, importScriptName)
-    BatchSink.writeDriverFile(p, constructImportCall())
-    p.toString
-  }
+  def writeImportCall(): String =
+    BatchSink.writeDriverFile(outDir, importScriptName, constructImportCall())
 }

@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.Paths
 import graft.KgContext
 import graft.model.Naming
 
@@ -68,7 +67,7 @@ class PostgresCsvSink(
     val sb = new StringBuilder
     if (conf.wipe) sb ++= s"DROP TABLE IF EXISTS $table;\n"
     sb ++= s"CREATE TABLE $table(${cols.mkString(",")});\n"
-    writeDriverFile(Paths.get(outDir, s"$table-create_table.sql"), sb.toString)
+    writeDriverFile(outDir, s"$table-create_table.sql", sb.toString)
   }
 
   protected def copyCommands: Seq[(String, String)] =

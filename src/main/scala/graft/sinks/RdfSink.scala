@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
 import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -297,36 +296,45 @@ final class RdfSink(
     )).as("t")).select(col("t.subj").as("subj"), col("t.pred").as("pred"), col("t.obj").as("obj"))
   }
 
-  /** Turtle part files need their @prefix block; the distributed commit
-    * wrote bare statements, so prepend per committed file (bounded by
-    * batchSize records per file). */
-  private def prependHeaders(): Unit = {
-    val out = Paths.get(outDir)
-    if (!Files.isDirectory(out)) return
-    import scala.jdk.CollectionConverters._
-    Files.list(out).iterator().asScala.toList
-      .filter(_.getFileName.toString.endsWith(s".$ext"))
-      .foreach { f =>
-        val body = Files.readString(f)
-        if (!body.startsWith("@prefix"))
-          Files.writeString(f, prefixHeader + body)
+  /** Rewrite each committed part file through the Hadoop FileSystem API
+    * (idempotent, any filesystem): read, transform, write a sibling, swap. */
+  private def rewriteParts(transform: String => Option[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(BatchSink.hadoopConf())
+    if (!fs.exists(out) || !fs.getFileStatus(out).isDirectory) return
+    fs.listStatus(out).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(s".$ext"))
+      .foreach { st =>
+        val is = fs.open(st.getPath)
+        val body =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(is),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally is.close()
+        transform(body).foreach { wrapped =>
+          val tmp = new Path(out, st.getPath.getName + "._hdr_tmp")
+          val os = fs.create(tmp, true)
+          try os.write(wrapped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+          fs.delete(st.getPath, false)
+          if (!fs.rename(tmp, st.getPath))
+            throw new IllegalStateException(s"rename failed: $tmp -> ${st.getPath}")
+        }
       }
   }
 
+  /** Turtle part files need their @prefix block; the distributed commit
+    * wrote bare statements, so prepend per committed file (bounded by
+    * batchSize records per file). */
+  private def prependHeaders(): Unit =
+    rewriteParts(body =>
+      if (body.startsWith("@prefix")) None else Some(prefixHeader + body))
+
   /** RDF/XML part files get the document envelope (same bounded per-file
     * pass as [[prependHeaders]]; bodies are one Description per line). */
-  private def wrapXmlFiles(): Unit = {
-    val out = Paths.get(outDir)
-    if (!Files.isDirectory(out)) return
-    import scala.jdk.CollectionConverters._
-    Files.list(out).iterator().asScala.toList
-      .filter(_.getFileName.toString.endsWith(s".$ext"))
-      .foreach { f =>
-        val body = Files.readString(f)
-        if (!body.startsWith("<?xml"))
-          Files.writeString(f,
-            "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" + xmlRootOpen + "\n" +
-              body + "</rdf:RDF>\n")
-      }
-  }
+  private def wrapXmlFiles(): Unit =
+    rewriteParts(body =>
+      if (body.startsWith("<?xml")) None
+      else Some("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" + xmlRootOpen + "\n" +
+        body + "</rdf:RDF>\n"))
 }

@@ -83,7 +83,7 @@ object Streaming {
       ttl: String = DefaultTtl): Dataset[KgNode] =
     dedupNodesStream(
       graft.translate.Translate.nodes(
-        graft.extract.Mentions.toRawNodes(
+        graft.extract.Mentions.toRawNodesWithDocs(
           graft.extract.Mentions.detect(docs, bcDict)), bcCtx),
       ttl)
 

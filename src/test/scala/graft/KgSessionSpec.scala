@@ -199,4 +199,36 @@ class KgSessionSpec extends AnyFunSuite {
     assert(yaml.contains("protein:\n  represented_as: node\n  present_in_knowledge_graph: True"))
     assert(yaml.contains("microRNA:\n  represented_as: node\n  present_in_knowledge_graph: False"))
   }
+
+  test("seen-set TTL + compaction: within-horizon keys dedup, expired keys re-emit, one snapshot") {
+    // injectable clock, 1000 ms horizon (VERDICT r4 #9 — the batch-session
+    // twin of the streaming state TTL)
+    var clock = 0L
+    val outDir = Files.createTempDirectory("graft-ttl-").toString
+    val s = new KgSession(spark, SparkTestBase.ctx, outDir,
+      seenTtlMs = Some(1000L), nowMs = () => clock)
+    s.addNodes(spark.createDataset(Seq(protein("a"), protein("b"))))
+    clock = 500L
+    // 'a' resights (deduped, stamp refreshed to 500); 'c' is fresh
+    s.addNodes(spark.createDataset(Seq(protein("a"), protein("c"))))
+    clock = 1200L
+    // horizon 1000: cutoff 200 — 'a' (last seen 500) still dedups,
+    // 'b' (last seen 0) expired and re-emits
+    s.addNodes(spark.createDataset(Seq(protein("a"), protein("b"))))
+    val ids = s.toDf()("protein").select("node_id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("a", "b", "b", "c"),
+      s"'b' must re-emit after expiry, 'a' must stay deduped; got $ids")
+    // compaction: exactly ONE live snapshot version remains on disk
+    val base = java.nio.file.Paths.get(s"$outDir/_graft_checkpoint/stage=seen_node_ids")
+    import scala.jdk.CollectionConverters._
+    val versions = Files.list(base).iterator().asScala.map(_.getFileName.toString).toList
+    assert(versions == List("v3"), s"superseded snapshots must be compacted away, got $versions")
+    // and a NEW session over the same outDir resumes from the compacted max
+    clock = 1300L
+    val s2 = new KgSession(spark, SparkTestBase.ctx, outDir,
+      seenTtlMs = Some(1000L), nowMs = () => clock)
+    s2.addNodes(spark.createDataset(Seq(protein("a"), protein("d"))))
+    val ids2 = s2.toDf()("protein").select("node_id").as[String].collect().sorted.toSeq
+    assert(ids2 == Seq("d"), s"resumed compacted snapshot must still dedup 'a'; got $ids2")
+  }
 }

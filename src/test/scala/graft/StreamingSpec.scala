@@ -55,7 +55,8 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(Doc("d2", Seq(Span("text", "scan and join", null, 0))))
       q.processAllAvailable()
       val out = spark.table("ingest_out").as[KgNode].collect()
-      assert(out.map(_.id).sorted.toSeq == Seq("op:join", "op:scan", "store:table"))
+      assert(out.map(_.id).sorted.toSeq ==
+        Seq("d1", "d2", "op:join", "op:scan", "store:table"))
       assert(out.forall(_.label == "relational operator") ||
         out.exists(_.label == "storage structure"))
     } finally q.stop()
@@ -109,7 +110,7 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(Doc("d1", Seq(Span("text", "scan the table", null, 0))))
       q1.processAllAvailable()
       assert(spark.read.parquet(outDir).as[KgNode].collect()
-        .map(_.id).sorted.toSeq == Seq("op:scan", "store:table"))
+        .map(_.id).sorted.toSeq == Seq("d1", "op:scan", "store:table"))
     } finally q1.stop() // the "kill"
     // data arriving while the query is down
     in.addData(Doc("d2", Seq(Span("text", "scan and join", null, 0))))
@@ -120,7 +121,7 @@ class StreamingSpec extends AnyFunSuite {
       // committed batch-1 offsets are not replayed, and the RECOVERED dedup
       // state still knows op:scan — only the genuinely new entity emits,
       // exactly once each across the kill/restart
-      assert(ids == Seq("op:join", "op:scan", "store:table"),
+      assert(ids == Seq("d1", "d2", "op:join", "op:scan", "store:table"),
         s"restart must resume offsets + seen-state, got ${ids.mkString(",")}")
     } finally q2.stop()
   }
