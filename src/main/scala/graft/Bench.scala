@@ -91,11 +91,22 @@ object Bench {
     // directly on this ordering.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1; got $passes")
-    val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
+    // best-of-2 per leg per pass: one timed rep leaves each sample exposed
+    // to a single short steal spike; the min of two in-JVM runs trims spike
+    // noise while both legs still share the pass's contention window
+    val repsPerPass = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
     // throwaway warm-up subprocess: the first child JVM pays the
     // spark-jars page-cache fill (~400 MB) — measured as a consistent
     // first-sample penalty on whichever level runs first
     runSubprocess("graft.BenchPipeline", Seq("2", "20000"), reps = "1")
+    // full-size discard pass: on a rested box the first lo/hi JVMs are
+    // systematically ASYMMETRIC (r5 official run: lo1 22% faster and hi1
+    // 30% slower than their pass-2+ equilibrium — opposite drifts, so the
+    // first pairs read absurd lows like 0.49 that no later pass
+    // reproduces); one untimed lo+hi pass at full size brings the machine
+    // to the steady state the timed pairs then sample
+    runSubprocess("graft.BenchPipeline", Seq(lo.toString, benchDocs.toString), reps = "1")
+    runSubprocess("graft.BenchPipeline", Seq(hi.toString, benchDocs.toString), reps = "1")
     // one PAIR per pass: the lo run immediately followed by the hi run, so
     // both legs of a pair share one contention window (each subprocess
     // JIT-warms itself; see BenchPipeline)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.corpus.AnalyticsDomain
 import graft.dedup.Dedup
-import graft.extract.{DocMention, Mention, MentionDict, Mentions}
+import graft.extract.{DocMention, DocMentionC, Mention, MentionDict, Mentions}
 import graft.model._
 import graft.model.Props.Props
 import graft.translate.Translate
@@ -45,6 +45,20 @@ final class KgPipeline(
   def docMentions(docs: Dataset[Doc]): Dataset[DocMention] =
     Mentions.detectPerDoc(docs, bcDict)
 
+  /** Dictionary-coded working set (the scale path): one int rank instead of
+    * three entity strings per row — see [[DocMentionC]]. */
+  def docMentionsCompact(docs: Dataset[Doc]): Dataset[DocMentionC] =
+    Mentions.detectPerDocCompact(docs, bcDict)
+
+  /** Driver-sized (rank, curie) decode table for post-aggregation broadcast
+    * joins — the dictionary-decoding edge of the compact path. */
+  @transient private lazy val rankCurie: DataFrame = {
+    import spark.implicits._
+    spark.createDataset(
+      bcDict.value.byRank.toSeq.zipWithIndex.map { case (e, r) => (r, e.curie) }
+    ).toDF("rank", "curie")
+  }
+
   /** Entity + document nodes, translated and globally deduped. The big
     * distincts run on thin string columns; fat property rows are built
     * only for the (small) distinct survivors. */
@@ -56,6 +70,28 @@ final class KgPipeline(
     val entityThin = dm.groupBy(col("curie"))
       .agg(min(struct(col("cls"), col("surface"))).as("cs"))
       .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
+    nodesFrom(entityThin, Mentions.distinctDocIds(dm))
+  }
+
+  /** [[nodes]] over the dictionary-coded working set: the corpus-sized
+    * distinct runs on ONE int column (map-side partial HashAggregate over
+    * 4-byte keys); the string entity triple is decoded from the broadcast
+    * dictionary only for the tiny distinct survivors. */
+  def nodesCompact(dmc: Dataset[DocMentionC]): Dataset[KgNode] = {
+    val bd = bcDict
+    val entityThin = dmc.select(col("rank")).distinct()
+      .as[Int]
+      .map { r => val e = bd.value.byRank(r); (e.curie, e.cls, e.surface) }
+      .toDF("curie", "cls", "surface")
+      // several surfaces (ranks) can share a curie: same min(cls, surface)
+      // winner as the string path, computed over dictionary-sized rows
+      .groupBy(col("curie"))
+      .agg(min(struct(col("cls"), col("surface"))).as("cs"))
+      .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
+    nodesFrom(entityThin, Mentions.distinctDocIdsC(dmc))
+  }
+
+  private def nodesFrom(entityThin: DataFrame, docIds: Dataset[String]): Dataset[KgNode] = {
     val entityRaw = entityThin
       .as[(String, String, String)]
       .map { case (curie, cls, surface) =>
@@ -67,7 +103,7 @@ final class KgPipeline(
     // dropDuplicates. Doc ids come run-distinct from the extraction pass
     // (contiguity invariant) — zero shuffle instead of a corpus-sized
     // distinct exchange.
-    val docRaw = Mentions.distinctDocIds(dm).toDF("doc_id")
+    val docRaw = docIds.toDF("doc_id")
       .join(broadcast(entityThin.select(col("curie").as("doc_id"))), Seq("doc_id"), "left_anti")
       .as[String].map(id => RawNode(id, "document", Props.empty))
     Translate.nodes(entityRaw.union(docRaw), bcCtx)
@@ -106,6 +142,43 @@ final class KgPipeline(
     * so the only exchange is the final tiny aggregate — no self-join. */
   def cooccurrenceEdges(docs: Dataset[Doc]): Dataset[KgEdge] =
     coocToEdges(Mentions.cooccurrencePairs(docs, bcDict))
+
+  /** [[mentionEdges]] over the dictionary-coded working set: the curie
+    * string re-enters via a broadcast hash join on the int rank (codegen'd,
+    * scales to million-term dictionaries where a plan-literal array would
+    * not) — the corpus-sized rows stay int-keyed until this last select. */
+  def mentionEdgesCompact(dmc: Dataset[DocMentionC]): Dataset[KgEdge] = {
+    val cls = ctxRef.inputLabelToClass("mentions")
+    val spec = ctxRef.specs(cls)
+    val label = spec.labelAsEdge.getOrElse(cls)
+    dmc.join(broadcast(rankCurie), Seq("rank"))
+      .select(
+        lit(null).cast("string").as("relId"),
+        col("doc_id").as("src"),
+        col("curie").as("tgt"),
+        lit(label).as("label"),
+        propsCol(("n", col("n"), "int")).as("props"),
+      ).as[KgEdge]
+  }
+
+  /** [[cooccurrenceEdgesFrom]]'s dictionary-coded twin: the pair aggregate
+    * shuffles (int, int) keys; ranks decode to curies via two broadcast
+    * joins AFTER the aggregate (output is distinct-pair-sized). */
+  def cooccurrenceEdgesFromCompact(dmc: Dataset[DocMentionC]): Dataset[KgEdge] = {
+    val cls = ctxRef.inputLabelToClass("cooccurs")
+    val label = ctxRef.specs(cls).labelAsEdge.getOrElse(cls)
+    Mentions.cooccurrencePairsFromCompact(dmc)
+      .join(broadcast(rankCurie.select(col("rank").as("src_rank"), col("curie").as("src"))),
+        Seq("src_rank"))
+      .join(broadcast(rankCurie.select(col("rank").as("tgt_rank"), col("curie").as("tgt"))),
+        Seq("tgt_rank"))
+      .select(
+        lit(null).cast("string").as("relId"),
+        col("src"), col("tgt"),
+        lit(label).as("label"),
+        propsCol(("n_docs", col("n_docs"), "int")).as("props"),
+      ).as[KgEdge]
+  }
 
   /** Co-occurrence edges derived from the (persisted) DocMention table —
     * no second corpus scan / trie pass; see
@@ -154,6 +227,22 @@ final class KgPipeline(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ns = nodes(dm)
     val es = mentionEdges(dm).union(cooccurrenceEdgesFrom(dm))
+    (ns, es, triples(ns, es))
+  }
+
+  /** [[run]] on the dictionary-coded scale path: the persisted working set
+    * carries (doc_id, rank:int, n, score) — the cache, every corpus-sized
+    * aggregate, and the pair shuffle are int-keyed; strings decode from the
+    * broadcast dictionary after the big exchanges. Output is identical to
+    * [[run]] (spec-proven) — this is the path the throughput benchmark and
+    * a 100-TB deployment use. */
+  def runCompact(docs: Dataset[Doc],
+      cacheLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (Dataset[KgNode], Dataset[KgEdge], Dataset[Triple]) = {
+    val dmc = docMentionsCompact(docs).persist(cacheLevel)
+    val ns = nodesCompact(dmc)
+    val es = mentionEdgesCompact(dmc).union(cooccurrenceEdgesFromCompact(dmc))
     (ns, es, triples(ns, es))
   }
 }

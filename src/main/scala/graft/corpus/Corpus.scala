@@ -60,11 +60,23 @@ object Corpus {
       vocab: IndexedSeq[String],
       seed: Long = 42L,
       meanWords: Int = 40,
+      numPartitions: Int = 0,
   ): Dataset[Doc] = {
     import spark.implicits._
     val vocabB = spark.sparkContext.broadcast(vocab)
-    spark.range(nDocs).map { id =>
+    // numPartitions > 0 pins a SIZE-BASED layout independent of the session's
+    // core count — the honest analogue of a cluster reading fixed-size input
+    // splits (a core-count layout gives different physical jobs, and GB-scale
+    // cache blocks, at different parallelism levels)
+    val idRange = if (numPartitions > 0) spark.range(0, nDocs, 1, numPartitions)
+                  else spark.range(nDocs)
+    idRange.mapPartitions { ids =>
       val v = vocabB.value
+      // one builder per partition, reset per span: the synthesis pass is
+      // allocation-bound at high thread counts, and builder-array churn was
+      // a measurable slice of it
+      val sb = new java.lang.StringBuilder(256)
+      ids.map { id =>
       var h = splitmix64(seed ^ id)
       def nextInt(bound: Int): Int = { h = splitmix64(h); (((h >>> 33) % bound).toInt + bound) % bound }
       val nTextSpans = 1 + nextInt(3)
@@ -75,7 +87,7 @@ object Corpus {
       var mediaLeft = nMedia
       (0 until nTextSpans).foreach { si =>
         val nw = wordsPerSpan / 2 + nextInt(math.max(1, wordsPerSpan))
-        val sb = new StringBuilder
+        sb.setLength(0)
         (0 until nw).foreach { wi =>
           if (wi > 0) sb.append(' ')
           sb.append(v(nextInt(v.length)))
@@ -95,6 +107,7 @@ object Corpus {
         mediaLeft -= 1
       }
       Doc(s"doc$id", spans.result())
+      }
     }
   }
 }

@@ -9,38 +9,52 @@ import scala.collection.mutable
   * to executors; matching inside `mapPartitions` is O(text length), so a
   * million-term dictionary costs the same per byte as ten terms.
   *
-  * Flat-array automaton (no per-node objects) to keep the broadcast compact
-  * and the inner loop allocation-free.
+  * When every pattern char is ASCII (<128) the automaton is a DENSE complete
+  * goto table (`nStates x 128` ints): one array load per input char, no hash
+  * probe, no failure-chain walk in the hot loop (a char >= 128 can then
+  * appear in no pattern, so it provably resets to the root). Non-ASCII
+  * dictionaries fall back to the sparse per-state hash tables with explicit
+  * failure links. Either way the broadcast is compact and
+  * [[countWholeWords]] allocates nothing per call.
   */
 final class AhoCorasick private (
+    private val dense: Array[Int], // complete goto, nStates*128 (null unless ASCII-only)
     private val trans: Array[mutable.HashMap[Char, Int]],
     private val fail: Array[Int],
-    private val out: Array[List[Int]], // pattern indices ending at this state
+    private val out: Array[Array[Int]], // pattern indices ending at this state
     val patterns: Array[String],
 ) extends Serializable {
+
+  @inline private def step(s: Int, c: Char): Int =
+    if (dense != null) {
+      if (c < 128) dense((s << 7) | c) else 0
+    } else {
+      var f = s
+      while (f != 0 && !trans(f).contains(c)) f = fail(f)
+      trans(f).getOrElse(c, 0)
+    }
 
   /** All matches as (startOffset, patternIndex); overlapping included. */
   def findAll(text: String): Iterator[(Int, Int)] = new Iterator[(Int, Int)] {
     private var i = 0
     private var state = 0
-    private var pending: List[Int] = Nil
+    private var pending: Array[Int] = Array.emptyIntArray
+    private var pi = 0
     private var pos = 0
     private def advance(): Unit = {
-      while (pending.isEmpty && i < text.length) {
-        val c = text.charAt(i)
-        var s = state
-        while (s != 0 && !trans(s).contains(c)) s = fail(s)
-        state = trans(s).getOrElse(c, 0)
+      while (pi >= pending.length && i < text.length) {
+        state = step(state, text.charAt(i))
         i += 1
         pos = i
         pending = out(state)
+        pi = 0
       }
     }
-    def hasNext: Boolean = { advance(); pending.nonEmpty }
+    def hasNext: Boolean = { advance(); pi < pending.length }
     def next(): (Int, Int) = {
       advance()
-      val p = pending.head
-      pending = pending.tail
+      val p = pending(pi)
+      pi += 1
       (pos - patterns(p).length, p)
     }
   }
@@ -54,6 +68,37 @@ final class AhoCorasick private (
       (start == 0 || !Character.isLetterOrDigit(text.charAt(start - 1))) &&
       (end == text.length || !Character.isLetterOrDigit(text.charAt(end)))
     }
+
+  /** Zero-allocation whole-word match counting for the extraction hot path:
+    * for each whole-word match of pattern `p`, `counts(p) += 1`, recording
+    * first-touches in `touched` (`counts` must be zeroed for the touched
+    * patterns on entry, as the callers' per-doc reset loop guarantees).
+    * Returns the updated touched length. Semantically identical to draining
+    * [[findWholeWords]] — the shared specs assert equality. */
+  def countWholeWords(text: String, counts: Array[Long], touched: Array[Int],
+      nTouched0: Int): Int = {
+    var nTouched = nTouched0
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      state = step(state, text.charAt(i))
+      i += 1
+      val os = out(state)
+      var j = 0
+      while (j < os.length) {
+        val p = os(j)
+        val start = i - patterns(p).length
+        if ((start == 0 || !Character.isLetterOrDigit(text.charAt(start - 1))) &&
+            (i == n || !Character.isLetterOrDigit(text.charAt(i)))) {
+          if (counts(p) == 0) { touched(nTouched) = p; nTouched += 1 }
+          counts(p) += 1
+        }
+        j += 1
+      }
+    }
+    nTouched
+  }
 }
 
 object AhoCorasick {
@@ -74,12 +119,14 @@ object AhoCorasick {
       }
       outB(s) = pi :: outB(s)
     }
-    // failure links (BFS)
+    // failure links (BFS; bfsOrder retained for the dense-table fill below)
     val fail = Array.fill(next.length)(0)
     val queue = mutable.Queue[Int]()
+    val bfsOrder = mutable.ArrayBuffer[Int]()
     next(0).values.foreach(queue.enqueue(_))
     while (queue.nonEmpty) {
       val s = queue.dequeue()
+      bfsOrder += s
       next(s).foreach { case (c, t) =>
         var f = fail(s)
         while (f != 0 && !next(f).contains(c)) f = fail(f)
@@ -88,6 +135,27 @@ object AhoCorasick {
         queue.enqueue(t)
       }
     }
-    new AhoCorasick(next.toArray, fail, outB.toArray, pats)
+    // dense complete-goto fill: delta(s,c) = goto(s,c) orElse delta(fail(s),c).
+    // BFS order is nondecreasing in depth and fail(s) is strictly shallower
+    // than s, so every fail row is complete before its dependents read it.
+    val asciiOnly = pats.forall(_.forall(_ < 128))
+    val dense: Array[Int] =
+      if (!asciiOnly) null
+      else {
+        val d = new Array[Int](next.length << 7)
+        var c = 0
+        while (c < 128) { d(c) = next(0).getOrElse(c.toChar, 0); c += 1 }
+        bfsOrder.foreach { s =>
+          val base = s << 7
+          val failBase = fail(s) << 7
+          var ch = 0
+          while (ch < 128) {
+            d(base | ch) = next(s).getOrElse(ch.toChar, d(failBase | ch))
+            ch += 1
+          }
+        }
+        d
+      }
+    new AhoCorasick(dense, next.toArray, fail, outB.map(_.toArray).toArray, pats)
   }
 }

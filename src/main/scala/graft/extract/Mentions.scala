@@ -67,6 +67,21 @@ final case class DocMention(
     score: Double,
 )
 
+/** Dictionary-coded per-document mention: the entity is the pattern's
+  * curie-lexicographic RANK (see [[MentionDict.rankOf]]), not its strings.
+  * This is the SCALE-PATH working row: the corpus-sized cache, shuffles and
+  * aggregations carry one int instead of three strings (curie/cls/surface),
+  * and rank order == curie order, so every downstream sort/pair semantics is
+  * preserved exactly. Strings re-enter via a broadcast rank join (or the
+  * driver-sized [[MentionDict.byRank]] table) AFTER the big aggregations —
+  * dictionary encoding end-to-end, decoded at the edges. */
+final case class DocMentionC(
+    doc_id: String,
+    rank: Int,
+    n: Long,
+    score: Double,
+)
+
 /** Mention detection + entity linking over interleaved text+media documents
   * — the web-scale "adapter" stage (BASELINE.json north rule; replaces the
   * reference's user-generator source, biocypher/_core.py:421-461).
@@ -172,14 +187,8 @@ object Mentions {
       it.flatMap { doc =>
         var nTouched = 0
         doc.spans.foreach { span =>
-          if (span.kind == "text" && span.text != null) {
-            val ms = dict.trie.findWholeWords(span.text)
-            while (ms.hasNext) {
-              val pi = ms.next()._2
-              if (counts(pi) == 0) { touched(nTouched) = pi; nTouched += 1 }
-              counts(pi) += 1
-            }
-          }
+          if (span.kind == "text" && span.text != null)
+            nTouched = dict.trie.countWholeWords(span.text, counts, touched, nTouched)
         }
         val out = new Array[DocMention](nTouched)
         var i = 0
@@ -188,6 +197,39 @@ object Mentions {
           val e = dict.linkFor(pi)
           val n = counts(pi)
           out(i) = DocMention(doc.doc_id, e.curie, e.cls, e.surface, n,
+            e.prior * e.surface.length * n)
+          counts(pi) = 0
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** [[detectPerDoc]]'s dictionary-coded twin: one (doc_id, rank, n, score)
+    * row per (doc, entity). Same trie pass, same per-doc aggregation —
+    * the emission carries the pattern's curie-lex rank instead of the
+    * three entity strings. See [[DocMentionC]] for why this is the row the
+    * 100-TB path caches and shuffles. */
+  def detectPerDocCompact(docs: Dataset[Doc], bcDict: Broadcast[MentionDict]): Dataset[DocMentionC] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[DocMentionC]
+    docs.mapPartitions { it =>
+      val dict = bcDict.value
+      val counts = new Array[Long](dict.linkFor.length)
+      val touched = new Array[Int](dict.linkFor.length)
+      it.flatMap { doc =>
+        var nTouched = 0
+        doc.spans.foreach { span =>
+          if (span.kind == "text" && span.text != null)
+            nTouched = dict.trie.countWholeWords(span.text, counts, touched, nTouched)
+        }
+        val out = new Array[DocMentionC](nTouched)
+        var i = 0
+        while (i < nTouched) {
+          val pi = touched(i)
+          val e = dict.linkFor(pi)
+          val n = counts(pi)
+          out(i) = DocMentionC(doc.doc_id, dict.rankOf(pi), n,
             e.prior * e.surface.length * n)
           counts(pi) = 0
           i += 1
@@ -217,14 +259,8 @@ object Mentions {
         // via integer ranks — keeps a < b semantics without string sorting)
         var nTouched = 0
         doc.spans.foreach { span =>
-          if (span.kind == "text" && span.text != null) {
-            val ms = dict.trie.findWholeWords(span.text)
-            while (ms.hasNext) {
-              val pi = ms.next()._2
-              if (counts(pi) == 0) { touched(nTouched) = pi; nTouched += 1 }
-              counts(pi) += 1
-            }
-          }
+          if (span.kind == "text" && span.text != null)
+            nTouched = dict.trie.countWholeWords(span.text, counts, touched, nTouched)
         }
         var arr = new Array[Int](nTouched)
         val scores = new Array[Double](nTouched)
@@ -328,26 +364,102 @@ object Mentions {
     pairs.groupBy(col("src"), col("tgt")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** [[cooccurrencePairsFromDocMentions]]'s dictionary-coded twin over
+    * [[DocMentionC]]: pair rows are (src_rank, tgt_rank) INTS — rank order
+    * == curie order, so `src_rank < tgt_rank` reproduces the `a < b` curie
+    * pair semantics (and the score/rank cap tie-break) exactly, while the
+    * only corpus-sized exchange carries 8 bytes per pair instead of two
+    * strings. Columns: (src_rank, tgt_rank, n_docs); decode ranks AFTER
+    * this aggregate. Same doc-run contiguity contract and runtime guard. */
+  def cooccurrencePairsFromCompact(dmc: Dataset[DocMentionC],
+      maxEntitiesPerDoc: Int = DefaultMaxEntitiesPerDoc,
+      guard: Boolean = true): DataFrame = {
+    val spark = dmc.sparkSession
+    import spark.implicits._
+    val droppedDocs = spark.sparkContext.longAccumulator("cooccurrence_capped_docs")
+    // pairs are PACKED into one long (srcRank << 32 | tgtRank): the only
+    // corpus-sized exchange shuffles a single 8-byte key (16 B/row unsafe
+    // format vs 24 B for two int columns) and aggregates on one primitive
+    val packed = dmc.mapPartitions { it =>
+      val base = it.buffered
+      val seenRuns = if (guard) new LongHashSet(1 << 16) else null
+      var ranks = new Array[Int](256)
+      var scores = new Array[Double](256)
+      new Iterator[Long] {
+        private var out: Iterator[Long] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && base.hasNext) {
+            val docId = base.head.doc_id
+            if (guard && !seenRuns.add(docHash(docId)))
+              throw new IllegalStateException(
+                s"doc-run contiguity violated: doc_id $docId reappeared after its run " +
+                  "ended — the DocMentionC dataset was shuffled between detectPerDocCompact " +
+                  "and pair emission (pass guard=false only if contiguity is certain)")
+            var n = 0
+            while (base.hasNext && base.head.doc_id == docId) {
+              if (n == ranks.length) {
+                ranks = java.util.Arrays.copyOf(ranks, n * 2)
+                scores = java.util.Arrays.copyOf(scores, n * 2)
+              }
+              val m = base.next()
+              ranks(n) = m.rank; scores(n) = m.score; n += 1
+            }
+            if (n >= 2) {
+              val arr: Array[Int] =
+                if (n > maxEntitiesPerDoc) {
+                  droppedDocs.add(1)
+                  topRanksByScore(java.util.Arrays.copyOf(ranks, n),
+                    java.util.Arrays.copyOf(scores, n), maxEntitiesPerDoc)
+                } else {
+                  val a = java.util.Arrays.copyOf(ranks, n)
+                  java.util.Arrays.sort(a)
+                  a
+                }
+              out = for {
+                a <- arr.indices.iterator
+                b <- ((a + 1) until arr.length).iterator
+              } yield (arr(a).toLong << 32) | arr(b).toLong
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Long = { advance(); out.next() }
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong).toDF("pair")
+    packed.groupBy(col("pair")).agg(count(lit(1)).as("n_docs"))
+      .select(
+        shiftright(col("pair"), 32).cast("int").as("src_rank"),
+        col("pair").bitwiseAND(lit(0xffffffffL)).cast("int").as("tgt_rank"),
+        col("n_docs"))
+  }
+
   /** Distinct doc ids from an UNSHUFFLED DocMention dataset (same
     * contiguity contract — and runtime guard — as
     * [[cooccurrencePairsFromDocMentions]]): each doc is one contiguous run
     * in exactly one partition, so emitting one id per run IS the global
     * distinct — no 10⁶-key shuffle. */
-  def distinctDocIds(dm: Dataset[DocMention], guard: Boolean = true): Dataset[String] = {
-    val spark = dm.sparkSession
+  def distinctDocIds(dm: Dataset[DocMention], guard: Boolean = true): Dataset[String] =
+    distinctRunIds(dm.sparkSession, dm.map(_.doc_id)(org.apache.spark.sql.Encoders.STRING), guard)
+
+  /** [[distinctDocIds]] over the dictionary-coded rows — same contract. */
+  def distinctDocIdsC(dmc: Dataset[DocMentionC], guard: Boolean = true): Dataset[String] =
+    distinctRunIds(dmc.sparkSession, dmc.map(_.doc_id)(org.apache.spark.sql.Encoders.STRING), guard)
+
+  private def distinctRunIds(spark: SparkSession, ids: Dataset[String],
+      guard: Boolean): Dataset[String] = {
     import spark.implicits._
-    dm.mapPartitions { it =>
+    ids.mapPartitions { it =>
       val seenRuns = if (guard) new LongHashSet(1 << 16) else null
       var last: String = null
-      it.flatMap { m =>
-        if (m.doc_id == last) Iterator.empty
+      it.flatMap { id =>
+        if (id == last) Iterator.empty
         else {
-          if (guard && !seenRuns.add(docHash(m.doc_id)))
+          if (guard && !seenRuns.add(docHash(id)))
             throw new IllegalStateException(
-              s"doc-run contiguity violated: doc_id ${m.doc_id} reappeared after its " +
-                "run ended — the DocMention dataset was shuffled after detectPerDoc")
-          last = m.doc_id
-          Iterator.single(m.doc_id)
+              s"doc-run contiguity violated: doc_id $id reappeared after its " +
+                "run ended — the mention dataset was shuffled after extraction")
+          last = id
+          Iterator.single(id)
         }
       }
     }

@@ -18,6 +18,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(ww.findWholeWords("scan join rescan scanjoin scan").toList.map(_._1) == List(0, 5, 26))
   }
 
+  test("dictionary-coded (compact) pipeline == string pipeline, end to end") {
+    val docs = Corpus.synthesize(spark, 400, AnalyticsDomain.vocab).persist()
+    val pipe = graft.KgPipeline.analytics(spark)
+    val (ns, es, ts) = pipe.run(docs)
+    val (nsC, esC, tsC) = pipe.runCompact(docs)
+    assert(nsC.collect().toSet == ns.collect().toSet)
+    assert(esC.collect().toSet == es.collect().toSet)
+    assert(tsC.collect().toSet == ts.collect().toSet)
+    docs.unpersist()
+  }
+
+  test("countWholeWords == findWholeWords drain (dense ASCII and sparse non-ASCII)") {
+    val cases = Seq(
+      Seq("scan", "join", "scan join") -> Seq(
+        "scan join rescan scanjoin scan", "scan", "", "join scan join"),
+      Seq("he", "she", "his", "hers") -> Seq("he said she sells his hers", "ushers"),
+      // non-ASCII patterns exercise the sparse fallback automaton
+      Seq("héllo", "wörld") -> Seq("héllo wörld héllo", "xhéllo héllo!", "héllowörld"),
+    )
+    for ((pats, texts) <- cases; t <- texts) {
+      val ac = AhoCorasick.build(pats)
+      val expected = ac.findWholeWords(t).toList.map(_._2)
+        .groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+      val counts = new Array[Long](pats.length)
+      val touched = new Array[Int](pats.length)
+      val n = ac.countWholeWords(t, counts, touched, 0)
+      val got = (0 until n).map(i => touched(i) -> counts(touched(i))).toMap
+      assert(got == expected, s"pats=$pats text='$t'")
+    }
+  }
+
   test("synthetic corpus is deterministic and interleaved") {
     val a = Corpus.synthesize(spark, 50, AnalyticsDomain.vocab).collect()
     val b = Corpus.synthesize(spark, 50, AnalyticsDomain.vocab).collect()
