@@ -28,10 +28,15 @@ object BenchPipeline {
       // docs; at any scale the per-partition slice stays ~50 MB.
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "false"))
-      // stable scan layout for the staged input: without this, parquet
-      // split packing (128 MB target) would merge the ~65 MB input files
-      // into fewer splits than the 16-core leg has slots
+      // ONE FILE = ONE TASK for the staged input: the snappy'd doc files
+      // are ~12 MB, and default packing (maxPartitionBytes 128m, openCost
+      // 4m) would merge 2-3 files per partition — measured at 4M docs that
+      // left the dominant scan+extract stage with 8 tasks on the 16-core
+      // leg (half the slots idle) while the 4-core leg stayed saturated,
+      // reading as a phantom scaling loss. openCost >= maxPartitionBytes
+      // forbids packing; no file exceeds 64m so none is split either.
       .config("spark.sql.files.maxPartitionBytes", "64m")
+      .config("spark.sql.files.openCostInBytes", "64m")
       .config("spark.sql.adaptive.enabled",
         (!sys.env.get("SPARK_GRAFT_AQE").contains("off")).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -45,11 +50,12 @@ object BenchPipeline {
 
   /** Size-based input layout, identical at every parallelism level — a
     * cluster's split count comes from the DATA, not from how many executors
-    * read it (measured: 250k docs/split beats 62.5k at 16 cores; finer
-    * splits buy straggler slack but pay task dispatch + more cache blocks
-    * on this single-JVM host). */
+    * read it. 125k docs/split = 32 files at 4M docs: the 16-core leg gets
+    * two full waves of extract tasks (straggler slack), the 4-core leg
+    * eight — both saturated, as a 100-TB table's thousands of splits would
+    * keep any executor count. */
   private def layoutParts(nDocs: Long): Int = {
-    val docsPerSplit = sys.env.getOrElse("SPARK_GRAFT_DOCS_PER_SPLIT", "250000").toLong
+    val docsPerSplit = sys.env.getOrElse("SPARK_GRAFT_DOCS_PER_SPLIT", "125000").toLong
     math.max(8, math.ceil(nDocs.toDouble / docsPerSplit).toInt)
   }
 
@@ -61,7 +67,9 @@ object BenchPipeline {
     * memory bandwidth — whose scaling the pair protocol measures). */
   def ensureInput(spark: SparkSession, nDocs: Long): String = {
     val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT_DIR", "/tmp/graft-bench-input")
-    val dir = s"$base/docs-$nDocs"
+    // layout-keyed dir: a changed docs-per-split re-stages instead of
+    // silently reusing the old file granularity
+    val dir = s"$base/docs-$nDocs-p${layoutParts(nDocs)}"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
@@ -106,10 +114,10 @@ object BenchPipeline {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     val spark = newSession(cores)
     pipelineRun(spark, 2000) // warm codegen/JIT
-    // with reps=1 (the pair-sampling protocol, graft.Bench) the single
-    // timed run must not pay residual JIT/compile cost: a second, larger
-    // warm-up (~5% of the input) pushes the hot loops through C2 first
-    if (reps == 1) pipelineRun(spark, math.max(20000L, nDocs / 20))
+    // a second, larger warm-up (~5% of the input) pushes the hot loops
+    // through C2 so the FIRST timed rep is already at speed (measured: with
+    // only the 2k warm-up the first rep ran ~30% slow, wasting a rep)
+    pipelineRun(spark, math.max(20000L, nDocs / 20))
     // best-of-N: the host VM has high run-to-run noise (CPU steal); the
     // minimum is the least-contended estimate of the engine's cost
     val runs = (1 to reps).map(_ => pipelineRun(spark, nDocs))
