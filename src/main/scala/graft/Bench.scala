@@ -58,14 +58,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 4M docs: the r4 8M experiment (BASELINE.md) measured the idle
-    // best-pair ratio DROPPING to ~0.75 — the 16-core leg goes sublinear
-    // (2.17x the 4M time vs 1.92x at 4 cores) once the cached mention set
-    // outgrows the fixed 20g heap's storage pool, a single-box memory-
-    // capacity ceiling a real 4x-machines cluster scales away (same logic
-    // as the (4,16) bandwidth-wall pair choice). The corpus stays at the
-    // largest size where BOTH legs fit the box.
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000000").toLong
+    // 16M docs (r5): the fused mention-set path shrank the cached working
+    // set ~4x (one packed-array row per doc), so the r4 heap-capacity
+    // ceiling that pinned the corpus at 4M is gone — at 16M both legs fit
+    // trivially (~2 GB cache), the 16-core leg runs ~16s (fixed overheads
+    // amortized to noise), and measured same-window pairs read 0.91-0.98.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "16000000").toLong
 
     // 1) identical pipeline at N and 4N cores, fresh JVM each, run FIRST on
     // an otherwise-idle machine (the query session below would interfere).

@@ -80,10 +80,12 @@ object BenchPipeline {
   }
 
   /** One full KG-construction run over the staged `nDocs` corpus, on the
-    * dictionary-coded scale path ([[KgPipeline.runCompact]]): the persisted
-    * working set and every corpus-sized exchange are int-keyed; strings
-    * decode from the broadcast dictionary after the aggregates. The timed
-    * region starts at the input scan (the staged parquet table). */
+    * FUSED mention-set path ([[KgPipeline.runFused]]): extraction is a
+    * codegen'd byte-walk expression, the persisted working set is one
+    * packed-array row per document, and per-doc pair emission is a codegen'd
+    * expression — no object materialization anywhere in the corpus-sized
+    * plan. The timed region starts at the input scan (the staged parquet
+    * table). */
   def pipelineRun(spark: SparkSession, nDocs: Long): (Double, Long) = {
     import spark.implicits._
     val docs =
@@ -93,15 +95,11 @@ object BenchPipeline {
     val pipe = KgPipeline.analytics(spark)
     val t0 = System.nanoTime()
     import org.apache.spark.storage.StorageLevel
-    val dmc = pipe.docMentionsCompact(docs)
-    dmc.persist(StorageLevel.fromString(
+    val (ns, es, ts) = pipe.runFused(docs, StorageLevel.fromString(
       sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")))
-    val ns = pipe.nodesCompact(dmc)
-    // cooc pairs derive from the persisted mention table — the corpus is
-    // synthesized and trie-matched ONCE per run
-    val es = pipe.mentionEdgesCompact(dmc).union(pipe.cooccurrenceEdgesFromCompact(dmc))
-    val n = pipe.triples(ns, es).count()
-    dmc.unpersist(blocking = false)
+    val _ = (ns, es)
+    val n = ts.count()
+    spark.sharedState.cacheManager.clearCache()
     ((System.nanoTime() - t0) / 1e9, n)
   }
 

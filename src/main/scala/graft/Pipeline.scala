@@ -77,9 +77,15 @@ final class KgPipeline(
     * distinct runs on ONE int column (map-side partial HashAggregate over
     * 4-byte keys); the string entity triple is decoded from the broadcast
     * dictionary only for the tiny distinct survivors. */
-  def nodesCompact(dmc: Dataset[DocMentionC]): Dataset[KgNode] = {
+  def nodesCompact(dmc: Dataset[DocMentionC]): Dataset[KgNode] =
+    nodesFromRanks(dmc.select(col("rank")), Mentions.distinctDocIdsC(dmc))
+
+  /** Shared tail of the rank-coded node paths: `ranks` is a one-int-column
+    * corpus-sized frame (possibly with duplicates), `docIds` already
+    * distinct. */
+  private def nodesFromRanks(ranks: DataFrame, docIds: Dataset[String]): Dataset[KgNode] = {
     val bd = bcDict
-    val entityThin = dmc.select(col("rank")).distinct()
+    val entityThin = ranks.distinct()
       .as[Int]
       .map { r => val e = bd.value.byRank(r); (e.curie, e.cls, e.surface) }
       .toDF("curie", "cls", "surface")
@@ -88,7 +94,7 @@ final class KgPipeline(
       .groupBy(col("curie"))
       .agg(min(struct(col("cls"), col("surface"))).as("cs"))
       .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
-    nodesFrom(entityThin, Mentions.distinctDocIdsC(dmc))
+    nodesFrom(entityThin, docIds)
   }
 
   private def nodesFrom(entityThin: DataFrame, docIds: Dataset[String]): Dataset[KgNode] = {
@@ -167,7 +173,7 @@ final class KgPipeline(
   def cooccurrenceEdgesFromCompact(dmc: Dataset[DocMentionC]): Dataset[KgEdge] = {
     val cls = ctxRef.inputLabelToClass("cooccurs")
     val label = ctxRef.specs(cls).labelAsEdge.getOrElse(cls)
-    Mentions.cooccurrencePairsFromCompact(dmc)
+    Mentions.cooccurrencePairsFromCompact(dmc, bcDict)
       .join(broadcast(rankCurie.select(col("rank").as("src_rank"), col("curie").as("src"))),
         Seq("src_rank"))
       .join(broadcast(rankCurie.select(col("rank").as("tgt_rank"), col("curie").as("tgt"))),
@@ -243,6 +249,91 @@ final class KgPipeline(
     val dmc = docMentionsCompact(docs).persist(cacheLevel)
     val ns = nodesCompact(dmc)
     val es = mentionEdgesCompact(dmc).union(cooccurrenceEdgesFromCompact(dmc))
+    (ns, es, triples(ns, es))
+  }
+
+  // ---- fused mention-set path (the production scale path) -------------------
+
+  import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression => colExpr}
+
+  /** The FUSED working set: one row per document with >= 1 mention,
+    * `(doc_id, pm: array<long>)`, each element `(rank << 32) | n` — built by
+    * the codegen'd [[graft.functions.ExtractMentions]] walking span bytes in
+    * place (no Doc/Span/String materialization, no encoder round trip).
+    * Versus the row-per-mention working set this pays the doc_id string once
+    * per DOCUMENT (~4x less cache traffic at ~14 mentions/doc), doc ids are
+    * distinct by construction (no run-distinct pass), and per-doc consumers
+    * need no run-contiguity contract — each row IS a document. */
+  def mentionSets(docs: Dataset[Doc]): DataFrame =
+    docs.toDF.select(col("doc_id"),
+        exprCol(graft.functions.ExtractMentions(colExpr(col("spans")), bcDict)).as("pm"))
+      .where(size(col("pm")) > 0)
+
+  /** [[nodes]] over the mention-set table: the corpus-sized distinct runs on
+    * the exploded int rank; doc ids are one-per-row already. */
+  def nodesFromSets(ms: DataFrame): Dataset[KgNode] =
+    nodesFromRanks(
+      ms.select(explode(col("pm")).as("p"))
+        .select(shiftright(col("p"), 32).cast("int").as("rank")),
+      ms.select(col("doc_id")).as[String])
+
+  /** [[mentionEdgesCompact]] over the mention-set table: explode + decode
+    * join, all codegen. */
+  def mentionEdgesFromSets(ms: DataFrame): Dataset[KgEdge] = {
+    val cls = ctxRef.inputLabelToClass("mentions")
+    val spec = ctxRef.specs(cls)
+    val label = spec.labelAsEdge.getOrElse(cls)
+    ms.select(col("doc_id"), explode(col("pm")).as("p"))
+      .select(col("doc_id"),
+        shiftright(col("p"), 32).cast("int").as("rank"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("n"))
+      .join(broadcast(rankCurie), Seq("rank"))
+      .select(
+        lit(null).cast("string").as("relId"),
+        col("doc_id").as("src"),
+        col("curie").as("tgt"),
+        lit(label).as("label"),
+        propsCol(("n", col("n"), "int")).as("props"),
+      ).as[KgEdge]
+  }
+
+  /** Co-occurrence edges over the mention-set table: per-doc pair emission
+    * is the codegen'd [[graft.functions.CoocPackedPairs]] (sort + cap +
+    * packed-pair array per row, no object churn, no contiguity contract);
+    * the only corpus-sized exchange aggregates 8-byte packed pair keys. */
+  def cooccurrenceEdgesFromSets(ms: DataFrame,
+      maxEntitiesPerDoc: Int = Mentions.DefaultMaxEntitiesPerDoc): Dataset[KgEdge] = {
+    val cls = ctxRef.inputLabelToClass("cooccurs")
+    val label = ctxRef.specs(cls).labelAsEdge.getOrElse(cls)
+    ms.select(explode(exprCol(graft.functions.CoocPackedPairs(
+          colExpr(col("pm")), bcDict, maxEntitiesPerDoc))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_docs"))
+      .select(
+        shiftright(col("pair"), 32).cast("int").as("src_rank"),
+        col("pair").bitwiseAND(lit(0xffffffffL)).cast("int").as("tgt_rank"),
+        col("n_docs"))
+      .join(broadcast(rankCurie.select(col("rank").as("src_rank"), col("curie").as("src"))),
+        Seq("src_rank"))
+      .join(broadcast(rankCurie.select(col("rank").as("tgt_rank"), col("curie").as("tgt"))),
+        Seq("tgt_rank"))
+      .select(
+        lit(null).cast("string").as("relId"),
+        col("src"), col("tgt"),
+        lit(label).as("label"),
+        propsCol(("n_docs", col("n_docs"), "int")).as("props"),
+      ).as[KgEdge]
+  }
+
+  /** [[run]] on the fused mention-set path — the path the throughput
+    * benchmark and a 100-TB deployment use. Output identical to [[run]] and
+    * [[runCompact]] (spec-proven). */
+  def runFused(docs: Dataset[Doc],
+      cacheLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (Dataset[KgNode], Dataset[KgEdge], Dataset[Triple]) = {
+    val ms = mentionSets(docs).persist(cacheLevel)
+    val ns = nodesFromSets(ms)
+    val es = mentionEdgesFromSets(ms).union(cooccurrenceEdgesFromSets(ms))
     (ns, es, triples(ns, es))
   }
 }

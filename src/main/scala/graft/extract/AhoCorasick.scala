@@ -99,6 +99,45 @@ final class AhoCorasick private (
     }
     nTouched
   }
+
+  /** True when the automaton has the dense ASCII goto table — the
+    * precondition for [[countWholeWordsAscii]]. */
+  def isAsciiDense: Boolean = dense != null
+
+  /** [[countWholeWords]] walking raw ASCII bytes in place (off-heap or
+    * on-heap via `Platform`), for the codegen'd extraction expression: zero
+    * copy out of the Tungsten buffer, no String/char[] materialization.
+    * PRECONDITIONS (checked by the caller): [[isAsciiDense]], and every
+    * byte in [off, off+len) is < 0x80 — then byte positions == char
+    * positions and ASCII `[A-Za-z0-9]` == `Character.isLetterOrDigit`,
+    * so results are identical to the String walk (spec-asserted). */
+  def countWholeWordsAscii(base: AnyRef, off: Long, len: Int,
+      counts: Array[Long], touched: Array[Int], nTouched0: Int): Int = {
+    import org.apache.spark.unsafe.Platform
+    var nTouched = nTouched0
+    var state = 0
+    var i = 0
+    while (i < len) {
+      state = dense((state << 7) | Platform.getByte(base, off + i))
+      i += 1
+      val os = out(state)
+      var j = 0
+      while (j < os.length) {
+        val p = os(j)
+        val start = i - patterns(p).length
+        if ((start == 0 || !isWordByte(Platform.getByte(base, off + start - 1))) &&
+            (i == len || !isWordByte(Platform.getByte(base, off + i)))) {
+          if (counts(p) == 0) { touched(nTouched) = p; nTouched += 1 }
+          counts(p) += 1
+        }
+        j += 1
+      }
+    }
+    nTouched
+  }
+
+  @inline private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
 }
 
 object AhoCorasick {

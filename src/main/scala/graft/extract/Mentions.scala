@@ -28,6 +28,12 @@ final class MentionDict private (
   /** rank -> dictionary entry (inverse of rankOf). */
   @transient lazy val byRank: Array[DictEntry] =
     linkFor.indices.sortBy(i => linkFor(i).curie).map(linkFor).toArray
+  /** rank -> per-occurrence score unit (prior x surface length): a mention's
+    * score is `scoreUnitByRank(rank) * n`, so the cached compact row need
+    * not carry it — executor-side consumers rederive it from the broadcast
+    * dictionary instead of paying 8 bytes/row of cache bandwidth. */
+  @transient lazy val scoreUnitByRank: Array[Double] =
+    byRank.map(e => e.prior * e.surface.length)
 }
 
 object MentionDict {
@@ -74,12 +80,14 @@ final case class DocMention(
   * and rank order == curie order, so every downstream sort/pair semantics is
   * preserved exactly. Strings re-enter via a broadcast rank join (or the
   * driver-sized [[MentionDict.byRank]] table) AFTER the big aggregations —
-  * dictionary encoding end-to-end, decoded at the edges. */
+  * dictionary encoding end-to-end, decoded at the edges. The mention score
+  * is NOT carried: it is `scoreUnitByRank(rank) * n`, rederived from the
+  * broadcast dictionary by the one consumer that needs it (the co-occurrence
+  * cap tie-break) instead of widening every cached row by 8 bytes. */
 final case class DocMentionC(
     doc_id: String,
     rank: Int,
     n: Long,
-    score: Double,
 )
 
 /** Mention detection + entity linking over interleaved text+media documents
@@ -142,7 +150,7 @@ object Mentions {
 
   /** Top-`cap` entity ranks by (score desc, rank asc) — the deterministic
     * per-doc entity selection when a doc exceeds the pair-emission cap. */
-  private def topRanksByScore(ranks: Array[Int], scores: Array[Double], cap: Int): Array[Int] = {
+  private[graft] def topRanksByScore(ranks: Array[Int], scores: Array[Double], cap: Int): Array[Int] = {
     val idx = ranks.indices.sortBy(i => (-scores(i), ranks(i))).take(cap)
     val out = idx.map(ranks).toArray
     java.util.Arrays.sort(out)
@@ -206,10 +214,10 @@ object Mentions {
     }
   }
 
-  /** [[detectPerDoc]]'s dictionary-coded twin: one (doc_id, rank, n, score)
-    * row per (doc, entity). Same trie pass, same per-doc aggregation —
-    * the emission carries the pattern's curie-lex rank instead of the
-    * three entity strings. See [[DocMentionC]] for why this is the row the
+  /** [[detectPerDoc]]'s dictionary-coded twin: one (doc_id, rank, n) row
+    * per (doc, entity). Same trie pass, same per-doc aggregation — the
+    * emission carries the pattern's curie-lex rank instead of the three
+    * entity strings. See [[DocMentionC]] for why this is the row the
     * 100-TB path caches and shuffles. */
   def detectPerDocCompact(docs: Dataset[Doc], bcDict: Broadcast[MentionDict]): Dataset[DocMentionC] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[DocMentionC]
@@ -227,10 +235,7 @@ object Mentions {
         var i = 0
         while (i < nTouched) {
           val pi = touched(i)
-          val e = dict.linkFor(pi)
-          val n = counts(pi)
-          out(i) = DocMentionC(doc.doc_id, dict.rankOf(pi), n,
-            e.prior * e.surface.length * n)
+          out(i) = DocMentionC(doc.doc_id, dict.rankOf(pi), counts(pi))
           counts(pi) = 0
           i += 1
         }
@@ -372,6 +377,7 @@ object Mentions {
     * strings. Columns: (src_rank, tgt_rank, n_docs); decode ranks AFTER
     * this aggregate. Same doc-run contiguity contract and runtime guard. */
   def cooccurrencePairsFromCompact(dmc: Dataset[DocMentionC],
+      bcDict: Broadcast[MentionDict],
       maxEntitiesPerDoc: Int = DefaultMaxEntitiesPerDoc,
       guard: Boolean = true): DataFrame = {
     val spark = dmc.sparkSession
@@ -381,6 +387,9 @@ object Mentions {
     // corpus-sized exchange shuffles a single 8-byte key (16 B/row unsafe
     // format vs 24 B for two int columns) and aggregates on one primitive
     val packed = dmc.mapPartitions { it =>
+      // cap tie-break scores rederive from the broadcast dictionary
+      // (score = scoreUnit(rank) * n) — the cached row doesn't carry them
+      val su = bcDict.value.scoreUnitByRank
       val base = it.buffered
       val seenRuns = if (guard) new LongHashSet(1 << 16) else null
       var ranks = new Array[Int](256)
@@ -402,7 +411,7 @@ object Mentions {
                 scores = java.util.Arrays.copyOf(scores, n * 2)
               }
               val m = base.next()
-              ranks(n) = m.rank; scores(n) = m.score; n += 1
+              ranks(n) = m.rank; scores(n) = su(m.rank) * m.n; n += 1
             }
             if (n >= 2) {
               val arr: Array[Int] =

@@ -29,6 +29,49 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("fused mention-set pipeline == string pipeline, end to end") {
+    val docs = Corpus.synthesize(spark, 400, AnalyticsDomain.vocab).persist()
+    val pipe = graft.KgPipeline.analytics(spark)
+    val (ns, es, ts) = pipe.run(docs)
+    val (nsF, esF, tsF) = pipe.runFused(docs)
+    assert(nsF.collect().toSet == ns.collect().toSet)
+    assert(esF.collect().toSet == es.collect().toSet)
+    assert(tsF.collect().toSet == ts.collect().toSet)
+    docs.unpersist()
+  }
+
+  test("ExtractMentions expression == string walk (ASCII byte path + non-ASCII fallbacks)") {
+    import graft.model.{Doc, Span}
+    import org.apache.spark.sql.GraftColumnBridge
+    val docs = Seq(
+      Doc("d1", Seq(Span("text", "scan join scan", null, 0))),
+      // non-ASCII TEXT with an ASCII dict: the span-level String fallback
+      Doc("d2", Seq(Span("text", "naïve scan—join héllo scan", null, 0),
+        Span("img", null, "m1", 1))),
+      Doc("d3", Seq(Span("text", "héllo join héllo", null, 0))),
+      Doc("d4", Seq(Span("img", null, "m2", 0))), // no text at all
+    ).toDS()
+    // case A: ASCII dictionary (dense byte walk on ASCII spans);
+    // case B: non-ASCII dictionary (sparse automaton, String walk always)
+    val dicts = Seq(
+      MentionDict.build(Seq(DictEntry("scan", "C:1", "c", 1.0), DictEntry("join", "C:2", "c", 0.5))),
+      MentionDict.build(Seq(DictEntry("héllo", "C:9", "c", 1.0), DictEntry("scan", "C:1", "c", 1.0))),
+    )
+    for (dict <- dicts) {
+      val bc = spark.sparkContext.broadcast(dict)
+      val got = docs.toDF.select(col("doc_id"),
+          GraftColumnBridge.column(graft.functions.ExtractMentions(
+            GraftColumnBridge.expression(col("spans")), bc)).as("pm"))
+        .select(col("doc_id"), explode(col("pm")).as("p"))
+        .select(col("doc_id"), shiftright(col("p"), 32).cast("int"),
+          col("p").bitwiseAND(lit(0xffffffffL)))
+        .as[(String, Int, Long)].collect().toSet
+      val expected = Mentions.detectPerDocCompact(docs, bc).collect()
+        .map(m => (m.doc_id, m.rank, m.n)).toSet
+      assert(got == expected, s"dict=${dict.linkFor.map(_.surface).mkString(",")}")
+    }
+  }
+
   test("countWholeWords == findWholeWords drain (dense ASCII and sparse non-ASCII)") {
     val cases = Seq(
       Seq("scan", "join", "scan join") -> Seq(

@@ -29,28 +29,29 @@ object ScratchStages {
       r
     }
 
-    val parts = math.max(8, math.ceil(nDocs / 250000.0).toInt)
-    // substage A: corpus synthesis alone (object map chain, no trie)
-    timed("synthesize_only") {
-      Corpus.synthesize(spark, nDocs, AnalyticsDomain.vocab, numPartitions = parts).count()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = BenchPipeline.ensureInput(spark, nDocs)
+    def staged = spark.read.parquet(dir).as[graft.model.Doc]
+    // substage A: parquet scan + full text decode alone (no trie) — force
+    // real column reads (a bare count() answers from parquet metadata)
+    timed("scan_decode_only") {
+      staged.toDF.select(explode(col("spans.text")).as("t"))
+        .agg(sum(length(col("t")))).collect()
     }
-    // substage B: synthesis + trie matching, no persist
+    // substage B: scan + trie matching (fused byte-walk), no persist
     val pipe = KgPipeline.analytics(spark)
-    timed("extract_nocache") {
-      pipe.docMentionsCompact(
-        Corpus.synthesize(spark, nDocs, AnalyticsDomain.vocab, numPartitions = parts)).count()
-    }
+    timed("extract_nocache") { pipe.mentionSets(staged).count() }
 
-    val docs = Corpus.synthesize(spark, nDocs, AnalyticsDomain.vocab, numPartitions = parts)
     val t0 = System.nanoTime()
-    val dmc = pipe.docMentionsCompact(docs)
-    dmc.persist(StorageLevel.MEMORY_AND_DISK)
-    timed("extract+persist") { dmc.count() }
-    val ns = pipe.nodesCompact(dmc)
+    val ms = pipe.mentionSets(staged)
+    ms.persist(StorageLevel.MEMORY_AND_DISK)
+    timed("extract+persist") { ms.count() }
+    val ns = pipe.nodesFromSets(ms)
     timed("nodes") { ns.count() }
-    val me = pipe.mentionEdgesCompact(dmc)
+    val me = pipe.mentionEdgesFromSets(ms)
     timed("mention_edges") { me.count() }
-    val ce = pipe.cooccurrenceEdgesFromCompact(dmc)
+    val ce = pipe.cooccurrenceEdgesFromSets(ms)
     timed("cooc_edges") { ce.count() }
     val es = me.union(ce)
     val n = timed("triples_total") { pipe.triples(ns, es).count() }
