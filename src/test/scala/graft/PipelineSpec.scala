@@ -216,6 +216,30 @@ class PipelineSpec extends AnyFunSuite {
     // demo-sized docs are untouched by the cap
     val small = Seq(Doc("s", Seq(Span("text", "term0001 term0002 term0003", null, 0)))).toDS()
     assert(Mentions.cooccurrencePairs(small, bc).count() == 3)
+    // the fused CoocPackedPairs expression applies the identical cap +
+    // tie-break: same pair count, same lexicographically-smallest survivors
+    import org.apache.spark.sql.GraftColumnBridge
+    val pmDf = docs.toDF.select(
+      GraftColumnBridge.column(graft.functions.ExtractMentions(
+        GraftColumnBridge.expression(col("spans")), bc)).as("pm"))
+    val fusedPairs = pmDf.select(explode(GraftColumnBridge.column(
+      graft.functions.CoocPackedPairs(GraftColumnBridge.expression(col("pm")),
+        bc, Mentions.DefaultMaxEntitiesPerDoc))).as("pair"))
+    assert(fusedPairs.count() == 256L * 255 / 2)
+    val maxSrcRank = fusedPairs.select(shiftright(col("pair"), 32).cast("int"))
+      .as[Int].collect().max
+    assert(dict.byRank(maxSrcRank).curie <= "e:0255")
+  }
+
+  test("fused mention-set consumers tolerate arbitrary repartition (no contiguity contract)") {
+    val docs = Corpus.synthesize(spark, 300, AnalyticsDomain.vocab)
+    val pipe = graft.KgPipeline.analytics(spark)
+    val ms = pipe.mentionSets(docs)
+    val shuffled = ms.repartition(7)
+    assert(pipe.cooccurrenceEdgesFromSets(shuffled).collect().toSet ==
+      pipe.cooccurrenceEdgesFromSets(ms).collect().toSet)
+    assert(pipe.nodesFromSets(shuffled).collect().toSet ==
+      pipe.nodesFromSets(ms).collect().toSet)
   }
 
   test("multimodal metadata plumbing is deterministic") {
