@@ -298,16 +298,19 @@ final class KgPipeline(
   }
 
   /** Co-occurrence edges over the mention-set table: per-doc pair emission
-    * is the codegen'd [[graft.functions.CoocPackedPairs]] (sort + cap +
-    * packed-pair array per row, no object churn, no contiguity contract);
-    * the only corpus-sized exchange aggregates 8-byte packed pair keys. */
+    * and the partial count run in ONE primitive per-partition combiner
+    * ([[graft.extract.CoocCombine]] — open-addressing long→long map over
+    * packed pairs, spill-safe, no object churn, no contiguity contract);
+    * the only exchange carries dictionary-bounded (pair, partial) rows,
+    * summed in one small final aggregate. */
   def cooccurrenceEdgesFromSets(ms: DataFrame,
       maxEntitiesPerDoc: Int = Mentions.DefaultMaxEntitiesPerDoc): Dataset[KgEdge] = {
     val cls = ctxRef.inputLabelToClass("cooccurs")
     val label = ctxRef.specs(cls).labelAsEdge.getOrElse(cls)
-    ms.select(explode(exprCol(graft.functions.CoocPackedPairs(
-          colExpr(col("pm")), bcDict, maxEntitiesPerDoc))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_docs"))
+    graft.extract.CoocCombine.partialPairCounts(
+        ms.select(col("pm")).as[Array[Long]], bcDict, maxEntitiesPerDoc)
+      .toDF("pair", "cnt")
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n_docs"))
       .select(
         shiftright(col("pair"), 32).cast("int").as("src_rank"),
         col("pair").bitwiseAND(lit(0xffffffffL)).cast("int").as("tgt_rank"),

@@ -1,0 +1,136 @@
+package graft.extract
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/** Per-partition combiner for packed co-occurrence pairs — the round-5
+  * replacement for explode → partial HashAggregate on the corpus-sized pair
+  * stream.
+  *
+  * Why: the exploded pair stream is ~C(mentions_per_doc, 2) rows per doc
+  * (~90x the doc count). Catalyst's partial HashAggregate probes an
+  * UnsafeRow hash map per row (~110 ns/row measured at 16 cores); this
+  * combiner probes a primitive open-addressing long→long map (~6x cheaper
+  * per probe) and emits only the partition-local distinct (pair, count)
+  * partials. Distinct pairs are bounded by the dictionary (C(|dict|, 2)),
+  * so the downstream exchange is dictionary-sized, not corpus-sized —
+  * downstream must SUM the partials. A flush threshold bounds the map for
+  * adversarial dictionaries: when local distinct pairs exceed `flushAt`
+  * the map drains to output (duplicate partials are merged by the same
+  * downstream sum), so memory is O(flushAt) regardless of dictionary size.
+  */
+object CoocCombine {
+
+  /** Per-doc capped+sorted rank selection shared with the expression path:
+    * ranks ascending; docs over `maxEntities` keep the top entities by
+    * (score desc, rank asc), score = scoreUnit(rank) * n. */
+  private[graft] def cappedSortedRanks(pm: Array[Long], su: Array[Double],
+      maxEntities: Int): Array[Int] = {
+    val n = pm.length
+    val ranks = new Array[Int](n)
+    var i = 0
+    while (i < n) { ranks(i) = (pm(i) >>> 32).toInt; i += 1 }
+    if (n > maxEntities) {
+      val scores = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        val v = pm(i)
+        scores(i) = su((v >>> 32).toInt) * (v & 0xffffffffL)
+        i += 1
+      }
+      Mentions.topRanksByScore(ranks, scores, maxEntities)
+    } else {
+      java.util.Arrays.sort(ranks)
+      ranks
+    }
+  }
+
+  /** `pmRows` is the fused working set's `pm` column (one packed array per
+    * document). Returns PARTIAL (pair, cnt) counts — one small
+    * `groupBy(pair).sum(cnt)` exchange completes the aggregate. */
+  def partialPairCounts(pmRows: Dataset[Array[Long]],
+      bcDict: Broadcast[MentionDict], maxEntities: Int,
+      flushAt: Int = 1 << 22): Dataset[(Long, Long)] = {
+    val spark = pmRows.sparkSession
+    import spark.implicits._
+    pmRows.mapPartitions { it =>
+      val su = bcDict.value.scoreUnitByRank
+      var agg = new LongLongMap(1 << 16)
+      new Iterator[(Long, Long)] {
+        private var drained: Iterator[(Long, Long)] = Iterator.empty
+        private def pump(): Unit = {
+          while (!drained.hasNext && it.hasNext) {
+            val pm = it.next()
+            if (pm.length >= 2) {
+              val arr = cappedSortedRanks(pm, su, maxEntities)
+              val m = arr.length
+              var a = 0
+              while (a < m) {
+                val hi = arr(a).toLong << 32
+                var b = a + 1
+                while (b < m) { agg.inc(hi | arr(b).toLong); b += 1 }
+                a += 1
+              }
+              if (agg.size >= flushAt) {
+                drained = agg.iterator
+                agg = new LongLongMap(1 << 16)
+              }
+            }
+          }
+          if (!drained.hasNext && !it.hasNext && agg.size > 0) {
+            drained = agg.iterator
+            agg = new LongLongMap(4) // emptied; keeps the post-drain state clean
+          }
+        }
+        def hasNext: Boolean = { if (!drained.hasNext) pump(); drained.hasNext }
+        def next(): (Long, Long) = { if (!drained.hasNext) pump(); drained.next() }
+      }
+    }
+  }
+
+  /** Open-addressing long→long counter. Key 0 is the empty sentinel — a
+    * packed pair is never 0 because src_rank < tgt_rank forces tgt > 0. */
+  private[graft] final class LongLongMap(initCap: Int) {
+    private var mask = initCap - 1
+    private var keys = new Array[Long](initCap)
+    private var vals = new Array[Long](initCap)
+    private var n = 0
+    def size: Int = n
+    def inc(k: Long): Unit = {
+      var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+      while (keys(i) != 0L) {
+        if (keys(i) == k) { vals(i) += 1; return }
+        i = (i + 1) & mask
+      }
+      keys(i) = k; vals(i) = 1L; n += 1
+      if (n * 2 > mask) grow()
+    }
+    private def add(k: Long, v: Long): Unit = {
+      var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+      while (keys(i) != 0L) {
+        if (keys(i) == k) { vals(i) += v; return }
+        i = (i + 1) & mask
+      }
+      keys(i) = k; vals(i) = v; n += 1
+      if (n * 2 > mask) grow()
+    }
+    private def grow(): Unit = {
+      val (ok, ov) = (keys, vals)
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      vals = new Array[Long](mask + 1)
+      n = 0
+      var i = 0
+      while (i < ok.length) { if (ok(i) != 0L) add(ok(i), ov(i)); i += 1 }
+    }
+    def iterator: Iterator[(Long, Long)] = {
+      val (ks, vs) = (keys, vals)
+      new Iterator[(Long, Long)] {
+        private var i = 0
+        private def seek(): Unit = { while (i < ks.length && ks(i) == 0L) i += 1 }
+        def hasNext: Boolean = { seek(); i < ks.length }
+        def next(): (Long, Long) = { seek(); val r = (ks(i), vs(i)); i += 1; r }
+      }
+    }
+  }
+}

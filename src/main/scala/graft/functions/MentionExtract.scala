@@ -164,24 +164,9 @@ final class CoocPairsWorker(bcDict: Broadcast[MentionDict], maxEntities: Int)
   def pairs(pm: ArrayData): ArrayData = {
     val n = pm.numElements()
     if (n < 2) return UnsafeArrayData.fromPrimitiveArray(empty)
-    var ranks = new Array[Int](n)
-    var i = 0
-    while (i < n) { ranks(i) = (pm.getLong(i) >>> 32).toInt; i += 1 }
-    val arr: Array[Int] =
-      if (n > maxEntities) {
-        val su = bcDict.value.scoreUnitByRank
-        val scores = new Array[Double](n)
-        i = 0
-        while (i < n) {
-          val v = pm.getLong(i)
-          scores(i) = su((v >>> 32).toInt) * (v & 0xffffffffL)
-          i += 1
-        }
-        Mentions.topRanksByScore(ranks, scores, maxEntities)
-      } else {
-        java.util.Arrays.sort(ranks)
-        ranks
-      }
+    // shared per-doc cap + sort semantics with the combiner path
+    val arr = graft.extract.CoocCombine.cappedSortedRanks(
+      pm.toLongArray(), bcDict.value.scoreUnitByRank, maxEntities)
     val m = arr.length
     val out = new Array[Long](m * (m - 1) / 2)
     var k = 0
