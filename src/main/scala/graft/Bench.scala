@@ -89,7 +89,10 @@ object Bench {
     // entirely inside a bad window (r3 official runs measured
     // 0.75/0.84/0.68 from exactly that). The pair estimator below builds
     // directly on this ordering.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // 4 passes = 7 same-window pair ratios for the median: with the (2,8)
+    // pair's ~80s lo legs, 5 passes pushed the whole bench to ~27 min; 4
+    // keeps it under ~18 while the median stays robust to one bad window
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1; got $passes")
     // best-of-2 per leg per pass: one timed rep leaves each sample exposed
     // to a single short steal spike; the min of two in-JVM runs trims spike
@@ -99,14 +102,14 @@ object Bench {
     // spark-jars page-cache fill (~400 MB) — measured as a consistent
     // first-sample penalty on whichever level runs first
     runSubprocess("graft.BenchPipeline", Seq("2", "20000"), reps = "1")
-    // full-size discard pass: on a rested box the first lo/hi JVMs are
-    // systematically ASYMMETRIC (r5 official run: lo1 22% faster and hi1
-    // 30% slower than their pass-2+ equilibrium — opposite drifts, so the
-    // first pairs read absurd lows like 0.49 that no later pass
-    // reproduces); one untimed lo+hi pass at full size brings the machine
-    // to the steady state the timed pairs then sample
-    runSubprocess("graft.BenchPipeline", Seq(lo.toString, benchDocs.toString), reps = "1")
-    runSubprocess("graft.BenchPipeline", Seq(hi.toString, benchDocs.toString), reps = "1")
+    // discard pass: on a rested box the first lo/hi JVMs are systematically
+    // ASYMMETRIC (r5 official run: lo1 22% faster and hi1 30% slower than
+    // their pass-2+ equilibrium — opposite drifts, so the first pairs read
+    // absurd lows like 0.49 that no later pass reproduces); one untimed
+    // lo+hi pass at HALF size brings the machine to steady state (page
+    // cache, equilibrium clocks) for half the wall cost of a full pass
+    runSubprocess("graft.BenchPipeline", Seq(lo.toString, (benchDocs / 2).toString), reps = "1")
+    runSubprocess("graft.BenchPipeline", Seq(hi.toString, (benchDocs / 2).toString), reps = "1")
     // one PAIR per pass: the lo run immediately followed by the hi run, so
     // both legs of a pair share one contention window (each subprocess
     // JIT-warms itself; see BenchPipeline)
