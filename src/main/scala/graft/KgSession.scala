@@ -68,18 +68,11 @@ final class KgSession(
     * superseded versions, so the live version is the max committed vN, and
     * lower numbers may be holes. */
   private val version: scala.collection.mutable.Map[String, Int] = {
-    import scala.jdk.CollectionConverters._
     val m = scala.collection.mutable.Map[String, Int]()
     Seq("seen_node_ids", "seen_edge_keys", "seen_rel_keys").foreach { space =>
-      val base = java.nio.file.Paths.get(s"$outDir/_graft_checkpoint", s"stage=$space")
-      val v =
-        if (!java.nio.file.Files.isDirectory(base)) 0
-        else java.nio.file.Files.list(base).iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
-          .filter(n => store.isCommitted(s"$space/v$n"))
-          .maxOption.getOrElse(0)
-      m(space) = v
+      // Listing goes through the store (Hadoop FS, ADVICE r5): a non-local
+      // outDir resolves its real filesystem, and no fd is leaked.
+      m(space) = store.committedVersions(space).maxOption.getOrElse(0)
     }
     m
   }

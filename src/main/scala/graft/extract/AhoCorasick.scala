@@ -9,12 +9,17 @@ import scala.collection.mutable
   * to executors; matching inside `mapPartitions` is O(text length), so a
   * million-term dictionary costs the same per byte as ten terms.
   *
-  * When every pattern char is ASCII (<128) the automaton is a DENSE complete
-  * goto table (`nStates x 128` ints): one array load per input char, no hash
-  * probe, no failure-chain walk in the hot loop (a char >= 128 can then
-  * appear in no pattern, so it provably resets to the root). Non-ASCII
-  * dictionaries fall back to the sparse per-state hash tables with explicit
-  * failure links. Either way the broadcast is compact and
+  * When every pattern char is ASCII (<128) AND the trie is small enough
+  * (state count <= [[AhoCorasick.DenseMaxStates]], ~100 MB of table) the
+  * automaton is a DENSE complete goto table (`nStates x 128` ints): one
+  * array load per input char, no hash probe, no failure-chain walk in the
+  * hot loop (a char >= 128 can then appear in no pattern, so it provably
+  * resets to the root). Exactly one representation is kept: when dense is
+  * built the sparse trans/fail structures are dropped (not serialized), so
+  * the broadcast pays for one automaton, never both; million-term
+  * dictionaries (nStates > the cap) keep the sparse per-state hash tables
+  * with explicit failure links and skip the dense fill entirely — a 1M-state
+  * dense table would be a ~0.5 GB broadcast. Either way
   * [[countWholeWords]] allocates nothing per call.
   */
 final class AhoCorasick private (
@@ -177,7 +182,10 @@ object AhoCorasick {
     // dense complete-goto fill: delta(s,c) = goto(s,c) orElse delta(fail(s),c).
     // BFS order is nondecreasing in depth and fail(s) is strictly shallower
     // than s, so every fail row is complete before its dependents read it.
-    val asciiOnly = pats.forall(_.forall(_ < 128))
+    // Gated on state count: beyond DenseMaxStates the 512 B/state table
+    // stops being "compact" (1M states ~ 0.5 GB) and the sparse automaton
+    // is the scalable representation.
+    val asciiOnly = pats.forall(_.forall(_ < 128)) && next.length <= DenseMaxStates
     val dense: Array[Int] =
       if (!asciiOnly) null
       else {
@@ -195,6 +203,16 @@ object AhoCorasick {
         }
         d
       }
-    new AhoCorasick(dense, next.toArray, fail, outB.map(_.toArray).toArray, pats)
+    // Keep exactly one representation: the dense table subsumes trans/fail
+    // (step() never touches them when dense != null), so drop them from the
+    // broadcast payload rather than shipping both automata.
+    val (transOut, failOut) =
+      if (dense != null) (null: Array[mutable.HashMap[Char, Int]], null: Array[Int])
+      else (next.toArray, fail)
+    new AhoCorasick(dense, transOut, failOut, outB.map(_.toArray).toArray, pats)
   }
+
+  /** Max trie states for the dense ASCII goto table (512 bytes/state →
+    * ~100 MB at the cap). Larger dictionaries use the sparse automaton. */
+  val DenseMaxStates: Int = 200000
 }

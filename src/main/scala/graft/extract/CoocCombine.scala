@@ -38,10 +38,28 @@ object CoocCombine {
         scores(i) = su((v >>> 32).toInt) * (v & 0xffffffffL)
         i += 1
       }
+      assertDistinct(java.util.Arrays.copyOf(ranks, n), sorted = false)
       Mentions.topRanksByScore(ranks, scores, maxEntities)
     } else {
       java.util.Arrays.sort(ranks)
+      assertDistinct(ranks, sorted = true)
       ranks
+    }
+  }
+
+  /** partialPairCounts is a public API whose input contract (one pm entry
+    * per DISTINCT entity rank, as ExtractMentions emits) is enforced here:
+    * a duplicate rank would otherwise emit a semantically meaningless
+    * self-pair (ADVICE r5). Free in the common branch (already sorted). */
+  private def assertDistinct(ranks: Array[Int], sorted: Boolean): Unit = {
+    if (!sorted) java.util.Arrays.sort(ranks)
+    var i = 1
+    while (i < ranks.length) {
+      if (ranks(i) == ranks(i - 1))
+        throw new IllegalArgumentException(
+          s"duplicate entity rank ${ranks(i)} in a packed mention row — pm rows " +
+            "must carry one entry per distinct entity (ExtractMentions contract)")
+      i += 1
     }
   }
 
@@ -88,15 +106,19 @@ object CoocCombine {
     }
   }
 
-  /** Open-addressing long→long counter. Key 0 is the empty sentinel — a
-    * packed pair is never 0 because src_rank < tgt_rank forces tgt > 0. */
+  /** Open-addressing long→long counter. Keys are stored internally biased
+    * by +1 so the slot value 0 is ALWAYS the empty sentinel — any
+    * non-negative caller key (packed pairs are < 2⁶³-1, so the bias never
+    * overflows) is live-storable, including 0 itself; the earlier
+    * unbiased layout silently mis-stored key 0 (ADVICE r5). */
   private[graft] final class LongLongMap(initCap: Int) {
     private var mask = initCap - 1
     private var keys = new Array[Long](initCap)
     private var vals = new Array[Long](initCap)
     private var n = 0
     def size: Int = n
-    def inc(k: Long): Unit = {
+    def inc(k0: Long): Unit = {
+      val k = k0 + 1
       var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
       while (keys(i) != 0L) {
         if (keys(i) == k) { vals(i) += 1; return }
@@ -105,7 +127,8 @@ object CoocCombine {
       keys(i) = k; vals(i) = 1L; n += 1
       if (n * 2 > mask) grow()
     }
-    private def add(k: Long, v: Long): Unit = {
+    /** `k` is already biased (internal rehash path). */
+    private def addBiased(k: Long, v: Long): Unit = {
       var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
       while (keys(i) != 0L) {
         if (keys(i) == k) { vals(i) += v; return }
@@ -121,7 +144,7 @@ object CoocCombine {
       vals = new Array[Long](mask + 1)
       n = 0
       var i = 0
-      while (i < ok.length) { if (ok(i) != 0L) add(ok(i), ov(i)); i += 1 }
+      while (i < ok.length) { if (ok(i) != 0L) addBiased(ok(i), ov(i)); i += 1 }
     }
     def iterator: Iterator[(Long, Long)] = {
       val (ks, vs) = (keys, vals)
@@ -129,7 +152,7 @@ object CoocCombine {
         private var i = 0
         private def seek(): Unit = { while (i < ks.length && ks(i) == 0L) i += 1 }
         def hasNext: Boolean = { seek(); i < ks.length }
-        def next(): (Long, Long) = { seek(); val r = (ks(i), vs(i)); i += 1; r }
+        def next(): (Long, Long) = { seek(); val r = (ks(i) - 1, vs(i)); i += 1; r }
       }
     }
   }

@@ -109,6 +109,17 @@ object Mentions {
     * capped and uncapped results agree on the oracle corpora. */
   val DefaultMaxEntitiesPerDoc = 256
 
+  /** Per-doc occurrence counts saturate at 2³¹-1: the fused packed-long path
+    * ([[graft.functions.ExtractMentions]]) has only 32 bits for the count
+    * half of its `(rank << 32) | n` encoding, so the string and compact
+    * paths clamp at the same bound — all three pipeline paths agree by
+    * construction (ADVICE r5), and a single doc would need >2 G occurrences
+    * of one entity to ever reach it. */
+  val MaxOccurrencesPerDoc: Long = 0x7fffffffL
+
+  @inline private def clampN(n: Long): Long =
+    if (n > MaxOccurrencesPerDoc) MaxOccurrencesPerDoc else n
+
   /** Minimal open-addressing set of longs (8 B per entry, power-of-two
     * table) — backs the doc-run contiguity guard at one hash probe per
     * run with no per-entry boxing. */
@@ -203,7 +214,7 @@ object Mentions {
         while (i < nTouched) {
           val pi = touched(i)
           val e = dict.linkFor(pi)
-          val n = counts(pi)
+          val n = clampN(counts(pi))
           out(i) = DocMention(doc.doc_id, e.curie, e.cls, e.surface, n,
             e.prior * e.surface.length * n)
           counts(pi) = 0
@@ -235,7 +246,7 @@ object Mentions {
         var i = 0
         while (i < nTouched) {
           val pi = touched(i)
-          out(i) = DocMentionC(doc.doc_id, dict.rankOf(pi), counts(pi))
+          out(i) = DocMentionC(doc.doc_id, dict.rankOf(pi), clampN(counts(pi)))
           counts(pi) = 0
           i += 1
         }
@@ -274,7 +285,7 @@ object Mentions {
           val pi = touched(i)
           arr(i) = dict.rankOf(pi)
           val e = dict.linkFor(pi)
-          scores(i) = e.prior * e.surface.length * counts(pi)
+          scores(i) = e.prior * e.surface.length * clampN(counts(pi))
           counts(pi) = 0
           i += 1
         }

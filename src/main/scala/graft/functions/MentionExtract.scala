@@ -96,8 +96,11 @@ final class MentionExtractor(bcDict: Broadcast[MentionDict],
     while (i < nTouched) {
       val pi = touched(i)
       val n = counts(pi)
+      // saturate at Mentions.MaxOccurrencesPerDoc — the 32-bit count half of
+      // the packed long; the string/compact paths clamp identically
       out(i) = (dict.rankOf(pi).toLong << 32) |
-        (if (n > 0x7fffffffL) 0x7fffffffL else n)
+        (if (n > graft.extract.Mentions.MaxOccurrencesPerDoc)
+           graft.extract.Mentions.MaxOccurrencesPerDoc else n)
       counts(pi) = 0
       i += 1
     }

@@ -208,9 +208,12 @@ object TextOps {
     // not) — drop empties so both sides see the same symbol string
     val spaced = concat(lit(" "),
       array_join(filter(split(word, ""), c => c =!= lit("")), " "))
+    // Replacement strings are Java Matcher templates ('$'/'\' are special),
+    // so quote them too — a merge symbol like "$100" must replace literally.
     val encoded = merges.foldLeft(spaced) { case (acc, (a, b)) =>
       regexp_replace(acc,
-        lit(java.util.regex.Pattern.quote(s" $a $b")), lit(s" $a$b"))
+        lit(java.util.regex.Pattern.quote(s" $a $b")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $a$b")))
     }
     split(trim(encoded), " ")
   }

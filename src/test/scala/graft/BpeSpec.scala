@@ -42,6 +42,19 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(2) == List("ab", "cd"))      // rank order: (a,a) first finds none
   }
 
+  test("encoder: regex-special merge symbols ('$', '\\') replace literally (ADVICE r5)") {
+    val s = spark
+    import s.implicits._
+    // merges whose outputs contain Matcher-template specials: "$1" and "\\d"
+    val enc = Seq("$100", "\\dx")
+      .toDF("w")
+      .select(TextOps.bpeEncodeSymbols(org.apache.spark.sql.functions.col("w"),
+        Seq("$" -> "1", "$1" -> "0", "\\" -> "d")).as("syms"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(enc(0) == List("$10", "0"))   // "$" + "1" -> "$1", then "$1"+"0" -> "$10"
+    assert(enc(1) == List("\\d", "x"))
+  }
+
   test("end-to-end: learned table encodes the corpus; unknown symbols id -1") {
     val d = docs("ab ab cd", "ab cd cd e")
     val merges = TextOps.bpeLearnMerges(d, nMerges = 2)

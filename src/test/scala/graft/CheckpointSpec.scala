@@ -39,6 +39,18 @@ class CheckpointSpec extends AnyFunSuite {
     assert(store.committedRanges("docs") == Seq((0L, 10L), (10L, 20L), (20L, 30L), (30L, 40L)))
   }
 
+  test("committedVersions lists live v<N> snapshots with holes after compaction") {
+    val root = Files.createTempDirectory("graft-ckpt-").toString
+    val store = new CheckpointStore(spark, root)
+    assert(store.committedVersions("seen_node_ids") == Nil)
+    store.commit("seen_node_ids/v1", spark.range(3).toDF("id"))
+    store.commit("seen_node_ids/v3", spark.range(5).toDF("id"))
+    assert(store.committedVersions("seen_node_ids") == Seq(1, 3))
+    store.drop("seen_node_ids/v1") // compaction leaves a hole
+    assert(store.committedVersions("seen_node_ids") == Seq(3))
+    assert(store.committedVersions("seen_node_ids").maxOption.contains(3))
+  }
+
   test("lineage manifests expose per-partition rows") {
     val root = Files.createTempDirectory("graft-ckpt-").toString
     val store = new CheckpointStore(spark, root)

@@ -18,6 +18,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(ww.findWholeWords("scan join rescan scanjoin scan").toList.map(_._1) == List(0, 5, 26))
   }
 
+  test("dense goto table is gated on state count; sparse fallback matches (ADVICE r5)") {
+    // small ASCII dictionary: dense, and the sparse structures are dropped
+    val small = AhoCorasick.build(Seq("scan", "join"))
+    assert(small.isAsciiDense)
+    // over-threshold ASCII dictionary: must NOT build the 512 B/state dense
+    // table (1M states would be a ~0.5 GB broadcast) — and must still match
+    val rng = new scala.util.Random(7)
+    val big = (0 until 30000).map(_ => (0 until 12).map(_ => ('a' + rng.nextInt(26)).toChar).mkString).distinct
+    val bigAc = AhoCorasick.build(big)
+    assert(!bigAc.isAsciiDense, "state count above DenseMaxStates must fall back to sparse")
+    val probe = s"${big.head} xyz ${big.last} ${big.head}x"
+    val hits = bigAc.findWholeWords(probe).toList.map { case (s, p) => (s, bigAc.patterns(p)) }
+    assert(hits.map(_._2).toSet.subsetOf(Set(big.head, big.last)))
+    assert(hits.count(_._2 == big.head) == 1) // "${big.head}x" is not whole-word
+  }
+
+  test("LongLongMap stores key 0 and the rank-distinct contract raises on duplicates (ADVICE r5)") {
+    import graft.extract.CoocCombine
+    val m = new CoocCombine.LongLongMap(4)
+    m.inc(0L); m.inc(0L); m.inc(5L)
+    assert(m.size == 2)
+    assert(m.iterator.toMap == Map(0L -> 2L, 5L -> 1L))
+    // growth keeps biased keys intact (force several rehashes through 0)
+    val g = new CoocCombine.LongLongMap(4)
+    (0L until 100L).foreach(k => g.inc(k))
+    g.inc(0L)
+    assert(g.iterator.toMap == (0L until 100L).map(k => k -> (if (k == 0) 2L else 1L)).toMap)
+    // duplicate rank in a pm row = contract violation, loud in both branches
+    val su = Array.fill(300)(1.0)
+    val dup = Array((0L << 32) | 3L, (0L << 32) | 2L, (1L << 32) | 1L)
+    intercept[IllegalArgumentException] {
+      CoocCombine.cappedSortedRanks(dup, su, maxEntities = 256)
+    }
+    intercept[IllegalArgumentException] {
+      CoocCombine.cappedSortedRanks(dup ++ (2 until 260).map(r => (r.toLong << 32) | 1L), su, maxEntities = 256)
+    }
+  }
+
+  test("occurrence counts saturate identically on string, compact and fused paths") {
+    // can't build a >2^31-occurrence doc; assert the clamp constant is the
+    // packed-long bound and that normal counts are untouched
+    assert(Mentions.MaxOccurrencesPerDoc == 0x7fffffffL)
+    val bc = spark.sparkContext.broadcast(AnalyticsDomain.dict)
+    val docs = Seq(graft.model.Doc("d", Seq(
+      graft.model.Span("text", "scan scan scan join", null, 0)))).toDS()
+    val n = Mentions.detectPerDoc(docs, bc).collect().map(m => m.curie -> m.n).toMap
+    assert(n("op:scan") == 3 && n("op:join") == 1)
+  }
+
   test("dictionary-coded (compact) pipeline == string pipeline, end to end") {
     val docs = Corpus.synthesize(spark, 400, AnalyticsDomain.vocab).persist()
     val pipe = graft.KgPipeline.analytics(spark)
