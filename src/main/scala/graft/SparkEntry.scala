@@ -155,32 +155,41 @@ object SparkEntry {
       // micro-batch), run through the streaming mention->translate->
       // cross-batch-dedup slice into a memory sink, must equal the batch
       // pipeline's node set EXACTLY — the oracle is kg_nodes' oracle
-      import s.implicits._
       val pipe = KgPipeline.analytics(s)
       // the test table is a single parquet FILE; the file stream source
       // wants a DIRECTORY, so stage the same corpus as 8 files and trigger
       // 4 at a time — a real multi-micro-batch run (2 batches: cross-batch
       // dedup state genuinely exercised) without paying 8x the per-batch
-      // state-commit overhead (~1.2s/batch at local[32])
+      // state-commit overhead. The query runs on a CHILD session (shared
+      // SparkContext, own SQL conf) with 8 shuffle partitions: stateful-op
+      // parallelism == state-store count, and committing 32 near-empty
+      // HDFSBackedStateStore deltas per batch was most of the row's cost
+      // (VERDICT r5 #2). Drained under Trigger.AvailableNow — terminates
+      // deterministically when the staged files are consumed, instead of
+      // processAllAvailable's polling settle.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
       val streamIn = workDir(s, "stream-in")
-      val batchDocs = s.read.parquet(s"$dir/documents.parquet")
+      val batchDocs = ss.read.parquet(s"$dir/documents.parquet")
       batchDocs.repartition(8).write.mode("overwrite").parquet(streamIn)
       val docsStream = Corpus.fromDocumentsTable(
-        s.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 4)
+        ss.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 4)
           .parquet(streamIn))
       // ttl = null: processing-time TTL timers schedule no-data micro-
-      // batches forever, so a drain-and-stop harness run never settles;
-      // the TTL path has its own spec (StreamingSpec), and unbounded state
-      // is exact — which is what a batch-equality check needs anyway
+      // batches forever (and AvailableNow would drop unexpired timers at
+      // drain end anyway); the TTL path has its own spec (StreamingSpec),
+      // and unbounded state is exact — which is what a batch-equality
+      // check needs
       val nodes = graft.streaming.Streaming.ingestNodesStream(
         docsStream, pipe.bcDict, pipe.bcCtx, ttl = null)
       val sinkName = "kg_stream_nodes_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
       val q = nodes.toDF().writeStream.format("memory").queryName(sinkName)
         .outputMode("append")
         .option("checkpointLocation", workDir(s, "stream-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sinkName)
+      try q.awaitTermination() finally q.stop()
+      ss.table(sinkName)
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
     }),
     "kg_triples" -> ((s, dir) => {
@@ -333,20 +342,26 @@ object SparkEntry {
     }),
     "kg_import_call" -> ((s, dir) => {
       // O13/O15: the part-file grammar + import-call codegen AS DATA. One
-      // corpus write through the shared BatchSink commit path (nodes+edges
-      // coalesced to one input partition so per-label part counts are
-      // exactly ceil(rows/batchSize) — a determinism harness choice, not
-      // the production write shape), then every batch sink's generated
-      // import script line by line. filePrefix pinned so the scripts are
-      // location-independent (reference scripts: test_neo4j.py:127-138).
+      // corpus write through the shared BatchSink commit path, then every
+      // batch sink's generated import script line by line. Inputs are
+      // range-partitioned BY LABEL (VERDICT r5 #4): range partitioning
+      // co-locates equal keys, so each label's rows sit in one task and
+      // maxRecordsPerFile yields exactly ceil(rows/batchSize) parts per
+      // label — the same deterministic part grammar the oracle pins, but
+      // the write itself runs the production parallel writePartitioned
+      // path (parallel across labels) instead of the old coalesce(1).
+      // filePrefix pinned so the scripts are location-independent
+      // (reference scripts: test_neo4j.py:127-138).
       import s.implicits._
       val cfg = KgConfig(batchSize = 5000L, importCallFilePrefix = Some("/data/kg"))
       val ctx = AnalyticsDomain.context(cfg)
       val pipe = new KgPipeline(s, ctx, AnalyticsDomain.dict)
       val dm = pipe.docMentions(kgDocs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ns = pipe.nodes(dm).coalesce(1)
-      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)).coalesce(1)
+      val ns0 = pipe.nodes(dm)
+      val ns = ns0.repartitionByRange(8, ns0("label"))
+      val es0 = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
+      val es = es0.repartitionByRange(4, es0("label"))
       val out = workDir(s, "import")
       val pg = new graft.sinks.PostgresCsvSink(ctx, out)
       pg.writeNodes(ns)
@@ -534,6 +549,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(k.toLong).as("k"), col("n_hits"),
           round(col("n_hits").cast("double") / k, 6).as("recall"))
+    }),
+    "ann_ivf_recall_sweep" -> ((s, dir) => {
+      // recall@20 vs nProbe ∈ {1,2,4,8} (VERDICT r5 #6): index quality as
+      // a CURVE, not a point — same persisted index, same brute-force
+      // truth, one row per operating point. Monotone non-decreasing by
+      // construction (probe sets nest).
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val k = 20
+      val exact = AnnOps.cosineTopK(emb, q, excludeId = 0L, k).select("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = AnnOps.ivfTopKFromIndex(s, ivfIndex(s, dir), q,
+          excludeId = 0L, k, nProbe = np).select("vec_id")
+        exact.join(approx, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("n_probe"), lit(k.toLong).as("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / k, 6).as("recall"))
+      }.reduce(_.union(_))
     }),
     "ann_vector_groups" -> ((s, dir) =>
       AnnOps.exactVectorDups(tbl(s, dir, "embeddings"), minCopies = 1)),
@@ -1351,6 +1386,29 @@ object SparkEntry {
          |SELECT CAST(20 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
          |  round(CAST(count(*) AS DOUBLE) / 20, 6) AS recall
          |FROM exact JOIN approx USING (vec_id)""".stripMargin,
+    "ann_ivf_recall_sweep" ->
+      s"""WITH $ivfCtes,
+         |qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+         |nps(np) AS (VALUES (1), (2), (4), (8)),
+         |probesx AS (SELECT nps.np, rn.cid FROM nps, rn WHERE rn.vec_id = 0 AND rn.r <= nps.np),
+         |approx AS (
+         |  SELECT np, vec_id FROM (
+         |    SELECT p.np, s.vec_id,
+         |      round(list_dot_product(s.q, qv.qq) /
+         |        (sqrt(list_dot_product(s.q, s.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |    FROM asn s JOIN probesx p ON s.cid = p.cid, qv
+         |    WHERE s.vec_id <> 0)
+         |  QUALIFY row_number() OVER (PARTITION BY np ORDER BY cosine DESC, vec_id) <= 20),
+         |exact AS (SELECT e.vec_id,
+         |    round(list_dot_product(e.q, qv.qq) /
+         |      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(qv.qq, qv.qq))), 6) AS cosine
+         |  FROM e, qv WHERE e.vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 20),
+         |hits AS (SELECT a.np, a.vec_id FROM approx a JOIN exact USING (vec_id))
+         |SELECT CAST(nps.np AS INTEGER) AS n_probe, CAST(20 AS BIGINT) AS k,
+         |  CAST(count(hits.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(hits.vec_id) AS DOUBLE) / 20, 6) AS recall
+         |FROM nps LEFT JOIN hits ON hits.np = nps.np
+         |GROUP BY nps.np""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |  (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END + CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END

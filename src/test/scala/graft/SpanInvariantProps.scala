@@ -1,0 +1,150 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test => ScTest}
+import org.scalacheck.Prop.forAll
+import graft.corpus.AnalyticsDomain
+import graft.extract.{AhoCorasick, Mentions}
+import graft.model.{Doc, Span}
+
+/** Generator-driven span-sequence invariants (SURVEY §5, VERDICT r5 #5):
+  * arbitrary interleaved text/media span mixes — unicode included — through
+  * the extraction and pipeline paths. Two suites: [[TrieProps]] is pure
+  * driver-side (default 100 cases), [[SpanPipelineProps]] runs Spark jobs
+  * per case (fewer cases, same shared session as the scalatest suites).
+  */
+object PropGen {
+
+  val dictTerm: Gen[String] = Gen.oneOf(AnalyticsDomain.dictionary.map(_._1))
+  // fillers chosen to be adversarial for whole-word matching: dictionary
+  // terms as substrings (rescan/joinx) and non-ASCII words that force the
+  // sparse/String fallbacks
+  val fillerAscii: Gen[String] =
+    Gen.oneOf("a", "the", "big", "data", "rescan", "joinx", "scanjoin", "x")
+  val fillerUnicode: Gen[String] =
+    Gen.oneOf("héllo", "wörld", "データ", "αβγδ", "émigré", "ñandú")
+  val word: Gen[String] =
+    Gen.frequency(4 -> dictTerm, 2 -> fillerAscii, 1 -> fillerUnicode)
+  val sentence: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private val textSpan: Gen[(String, String, String)] =
+    sentence.map(t => ("text", t, null: String))
+  private val mediaSpan: Gen[(String, String, String)] =
+    for {
+      kind <- Gen.oneOf("image", "audio", "video")
+      ref <- Gen.chooseNum(0, 9999)
+    } yield (kind, null: String, s"media://$kind/$ref")
+
+  private val docSpans: Gen[List[(String, String, String)]] =
+    Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(3 -> textSpan, 1 -> mediaSpan)))
+
+  /** Corpus with distinct doc ids and ordered span offsets. */
+  val corpus: Gen[List[Doc]] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, docSpans)).map { ds =>
+      ds.zipWithIndex.map { case (spans, i) =>
+        Doc(f"doc$i%05d",
+          spans.zipWithIndex.map { case ((k, t, m), off) => Span(k, t, m, off) })
+      }
+    }
+}
+
+object TrieProps extends Properties("Trie") {
+
+  private val patterns: Gen[List[String]] =
+    Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, PropGen.word))
+      .map(_.distinct.filter(_.nonEmpty))
+      .suchThat(_.nonEmpty)
+
+  property("countWholeWords == findWholeWords drain, any dictionary x any text") =
+    forAll(patterns, PropGen.sentence) { (pats, text) =>
+      val ac = AhoCorasick.build(pats)
+      val expected = ac.findWholeWords(text).toList.map(_._2)
+        .groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+      val counts = new Array[Long](pats.length)
+      val touched = new Array[Int](pats.length)
+      val n = ac.countWholeWords(text, counts, touched, 0)
+      val got = (0 until n).map(i => touched(i) -> counts(touched(i))).toMap
+      got == expected
+    }
+
+  property("findAll positions: every reported match is literally present") =
+    forAll(patterns, PropGen.sentence) { (pats, text) =>
+      val ac = AhoCorasick.build(pats)
+      ac.findAll(text).forall { case (start, p) =>
+        text.regionMatches(start, ac.patterns(p), 0, ac.patterns(p).length)
+      }
+    }
+}
+
+object SpanPipelineProps extends Properties("SpanPipeline") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestBase.spark
+
+  property("string == compact == fused pipeline on arbitrary corpora") =
+    forAll(PropGen.corpus) { docs =>
+      import spark.implicits._
+      val ds = spark.createDataset(docs)
+      val pipe = KgPipeline.analytics(spark)
+      val (ns, es, ts) = pipe.run(ds)
+      val (nsC, esC, tsC) = pipe.runCompact(ds)
+      val (nsF, esF, tsF) = pipe.runFused(ds)
+      val ok = nsC.collect().toSet == ns.collect().toSet &&
+        esC.collect().toSet == es.collect().toSet &&
+        tsC.collect().toSet == ts.collect().toSet &&
+        nsF.collect().toSet == ns.collect().toSet &&
+        esF.collect().toSet == es.collect().toSet &&
+        tsF.collect().toSet == ts.collect().toSet
+      spark.catalog.clearCache() // the three runs persist their working sets
+      ok
+    }
+
+  property("detectPerDoc == detect aggregated; compact decodes to the same rows") =
+    forAll(PropGen.corpus) { docs =>
+      import spark.implicits._
+      val ds = spark.createDataset(docs)
+      val bc = spark.sparkContext.broadcast(AnalyticsDomain.dict)
+      val occ = Mentions.detect(ds, bc).collect().filter(_.cls != "media")
+        .groupBy(m => (m.doc_id, m.curie)).map { case (k, ms) => k -> ms.length.toLong }
+      val perDoc = Mentions.detectPerDoc(ds, bc).collect()
+        .map(m => (m.doc_id, m.curie) -> m.n).toMap
+      val dict = AnalyticsDomain.dict
+      val compact = Mentions.detectPerDocCompact(ds, bc).collect()
+        .map(m => (m.doc_id, dict.byRank(m.rank).curie) -> m.n).toMap
+      occ == perDoc && perDoc == compact
+    }
+
+  property("media spans pass through detect as provenance mentions, counts exact") =
+    forAll(PropGen.corpus) { docs =>
+      import spark.implicits._
+      val ds = spark.createDataset(docs)
+      val bc = spark.sparkContext.broadcast(AnalyticsDomain.dict)
+      val media = Mentions.detect(ds, bc).collect().filter(_.cls == "media")
+      val expected = docs.flatMap(d =>
+        d.spans.filter(s => s.kind != "text" && s.media_ref != null)
+          .map(s => (d.doc_id, s.media_ref, s.offset)))
+      media.map(m => (m.doc_id, m.curie, m.span_offset)).sorted.toSeq ==
+        expected.map { case (d, r, o) => (d, r, o) }.sorted
+    }
+
+  property("span signature: identity-stable, mutation-sensitive") =
+    forAll(PropGen.corpus) { docs =>
+      import spark.implicits._
+      val df = spark.createDataset(docs).toDF()
+      val same = Mentions.invariantViolations(df, df) == 0
+      // bump the last span's offset of every non-empty doc: the rendered
+      // (kind, text, media_ref, offset) sequence changes, so every such
+      // doc must violate
+      val mutated = docs.map { d =>
+        if (d.spans.isEmpty) d
+        else d.copy(spans = d.spans.init :+ d.spans.last.copy(offset = d.spans.last.offset + 1))
+      }
+      val nMutable = docs.count(_.spans.nonEmpty)
+      val viol = Mentions.invariantViolations(df, spark.createDataset(mutated).toDF())
+      same && viol == nMutable
+    }
+}
