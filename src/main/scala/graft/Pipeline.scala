@@ -108,11 +108,13 @@ final class KgPipeline(
     // a thin broadcast anti-join (entity ids are few), NOT a fat-row
     // dropDuplicates. Doc ids come run-distinct from the extraction pass
     // (contiguity invariant) — zero shuffle instead of a corpus-sized
-    // distinct exchange.
-    val docRaw = docIds.toDF("doc_id")
+    // distinct exchange. The corpus-sized doc branch translates through
+    // the constant-folded Catalyst path (every field but the id is
+    // label-constant; the typed flatMap allocated 3 objects per document).
+    val docFiltered = docIds.toDF("doc_id")
       .join(broadcast(entityThin.select(col("curie").as("doc_id"))), Seq("doc_id"), "left_anti")
-      .as[String].map(id => RawNode(id, "document", Props.empty))
-    Translate.nodes(entityRaw.union(docRaw), bcCtx)
+    Translate.nodes(entityRaw, bcCtx)
+      .union(Translate.constNodes(docFiltered, "doc_id", "document", bcCtx))
   }
 
   /** One property bag column `[(k, (s, arr, t))]` built in Catalyst. */
@@ -265,16 +267,24 @@ final class KgPipeline(
     * distinct by construction (no run-distinct pass), and per-doc consumers
     * need no run-contiguity contract — each row IS a document. */
   def mentionSets(docs: Dataset[Doc]): DataFrame =
+    // kind/text as parallel GetArrayStructFields extractions: nested schema
+    // pruning narrows the parquet ReadSchema to spans.{kind,text} — the
+    // scan never decodes media_ref/offset (the whole-struct ExtractMentions
+    // form read all four nested columns)
     docs.toDF.select(col("doc_id"),
-        exprCol(graft.functions.ExtractMentions(colExpr(col("spans")), bcDict)).as("pm"))
+        exprCol(graft.functions.ExtractMentionsKT(
+          colExpr(col("spans.kind")), colExpr(col("spans.text")), bcDict)).as("pm"))
       .where(size(col("pm")) > 0)
 
-  /** [[nodes]] over the mention-set table: the corpus-sized distinct runs on
-    * the exploded int rank; doc ids are one-per-row already. */
+  /** [[nodes]] over the mention-set table: the corpus-sized rank distinct
+    * runs as a dictionary-bounded per-partition set collector
+    * ([[graft.extract.CoocCombine.partialRankSets]] — no explode of the
+    * corpus mention stream, no per-mention hash probe); doc ids are
+    * one-per-row already. */
   def nodesFromSets(ms: DataFrame): Dataset[KgNode] =
     nodesFromRanks(
-      ms.select(explode(col("pm")).as("p"))
-        .select(shiftright(col("p"), 32).cast("int").as("rank")),
+      graft.extract.CoocCombine.partialRankSets(
+        ms.select(col("pm")).as[Array[Long]], bcDict).toDF("rank"),
       ms.select(col("doc_id")).as[String])
 
   /** [[mentionEdgesCompact]] over the mention-set table: explode + decode

@@ -106,6 +106,33 @@ object CoocCombine {
     }
   }
 
+  /** Per-partition DISTINCT-RANK collector over packed mention sets: the
+    * rank domain is dictionary-bounded, so a boolean array + touched list
+    * replaces explode(all mentions) + partial HashAggregate (~110 ns/probe
+    * over a corpus-sized row stream) — the exchange downstream carries at
+    * most nPartitions × |dict| ints. Callers still `.distinct()` the
+    * result (this emits one rank per partition it appears in). */
+  def partialRankSets(pmRows: Dataset[Array[Long]],
+      bcDict: Broadcast[MentionDict]): Dataset[Int] = {
+    val spark = pmRows.sparkSession
+    import spark.implicits._
+    pmRows.mapPartitions { it =>
+      val seen = new Array[Boolean](bcDict.value.linkFor.length)
+      val touched = new Array[Int](seen.length)
+      var nt = 0
+      while (it.hasNext) {
+        val pm = it.next()
+        var i = 0
+        while (i < pm.length) {
+          val r = (pm(i) >>> 32).toInt
+          if (!seen(r)) { seen(r) = true; touched(nt) = r; nt += 1 }
+          i += 1
+        }
+      }
+      (0 until nt).iterator.map(touched)
+    }
+  }
+
   /** Open-addressing long→long counter. Keys are stored internally biased
     * by +1 so the slot value 0 is ALWAYS the empty sentinel — any
     * non-negative caller key (packed pairs are < 2⁶³-1, so the bias never

@@ -51,6 +51,39 @@ case class ExtractMentions(child: Expression, bcDict: Broadcast[MentionDict])
     copy(child = newChild)
 }
 
+/** [[ExtractMentions]] over two PARALLEL arrays `spans.kind` / `spans.text`
+  * (each a plain `GetArrayStructFields` extraction): Catalyst's nested
+  * schema pruning then narrows the parquet ReadSchema to exactly those two
+  * nested fields — the scan never decodes `media_ref`/`offset`, which the
+  * whole-struct form forced it to read. Semantics identical to
+  * [[ExtractMentions]] (spec-asserted): a null struct element yields null
+  * entries in both arrays and is skipped either way. */
+case class ExtractMentionsKT(kinds: Expression, texts: Expression,
+    bcDict: Broadcast[MentionDict])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = kinds
+  override def right: Expression = texts
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val helper: MentionExtractor =
+    new MentionExtractor(bcDict, -1, -1, -1) // struct indices unused on this path
+
+  override protected def nullSafeEval(k: Any, t: Any): Any =
+    helper.extractKT(k.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, t) => {
+      val h = ctx.addReferenceObj("mentionExtractorKT", helper,
+        classOf[MentionExtractor].getName)
+      s"${ev.value} = $h.extractKT($k, $t);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ExtractMentionsKT =
+    copy(kinds = newLeft, texts = newRight)
+}
+
 /** The executor-side worker behind [[ExtractMentions]] (shipped inside the
   * codegen references array; one instance per plan, thread-safe via
   * per-thread scratch buffers sized to the dictionary). */
@@ -101,6 +134,46 @@ final class MentionExtractor(bcDict: Broadcast[MentionDict],
       out(i) = (dict.rankOf(pi).toLong << 32) |
         (if (n > graft.extract.Mentions.MaxOccurrencesPerDoc)
            graft.extract.Mentions.MaxOccurrencesPerDoc else n)
+      counts(pi) = 0
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** [[extract]] over pre-extracted parallel `spans.kind` / `spans.text`
+    * arrays (see [[ExtractMentionsKT]]): same trie walk, same packing, same
+    * clamp — only the span-struct access pattern differs (a null struct
+    * element surfaces as null entries in BOTH arrays, so the null checks
+    * subsume the original element-null check). */
+  def extractKT(kinds: ArrayData, texts: ArrayData): ArrayData = {
+    val dict = bcDict.value
+    val sc = scratch.get()
+    val counts = sc.counts
+    val touched = sc.touched
+    var nTouched = 0
+    val n = kinds.numElements()
+    var si = 0
+    while (si < n) {
+      if (!kinds.isNullAt(si) && !texts.isNullAt(si) &&
+          kinds.getUTF8String(si).equals(TEXT)) {
+        val t = texts.getUTF8String(si)
+        nTouched =
+          if (dict.trie.isAsciiDense && isAscii(t))
+            dict.trie.countWholeWordsAscii(t.getBaseObject, t.getBaseOffset,
+              t.numBytes, counts, touched, nTouched)
+          else
+            dict.trie.countWholeWords(t.toString, counts, touched, nTouched)
+      }
+      si += 1
+    }
+    val out = new Array[Long](nTouched)
+    var i = 0
+    while (i < nTouched) {
+      val pi = touched(i)
+      val c = counts(pi)
+      out(i) = (dict.rankOf(pi).toLong << 32) |
+        (if (c > graft.extract.Mentions.MaxOccurrencesPerDoc)
+           graft.extract.Mentions.MaxOccurrencesPerDoc else c)
       counts(pi) = 0
       i += 1
     }

@@ -72,6 +72,63 @@ object Translate {
     }
   }
 
+  /** Constant-folded Catalyst twin of [[nodes]] for a single-label,
+    * constant-props id stream — the corpus-sized document branch of the KG
+    * pipeline. Every output field except the id is label-constant, so the
+    * 10⁷-row path becomes a pure codegen select (the same trick that fixed
+    * the mention-edge typed-map churn in round 1; the typed flatMap here
+    * allocated a RawNode + KgNode + Props vector per document — measured
+    * as the dominant slice of the nodes stage at 16M docs).
+    *
+    * Parity by construction: the template row is produced by the SAME
+    * Scala translation ([[KgNode.make]] + [[filterProps]]) running on a
+    * driver-side placeholder id, so label/preferredId/prop ordering can
+    * never diverge from the typed path; only the injected `id` property
+    * (and the `id` column) are data-dependent, with Py.sanitize replicated
+    * as a regexp_replace. Strict mode falls back to the typed path (it
+    * must throw per offending row). */
+  def constNodes(df: DataFrame, idCol: String, inputLabel: String,
+      bc: Broadcast[KgContext]): Dataset[KgNode] = {
+    import org.apache.spark.sql.functions._
+    implicit val enc = org.apache.spark.sql.Encoders.product[KgNode]
+    val ctx = bc.value // driver-side resolution; nothing label-sized ships
+    ctx.inputLabelToClass.get(inputLabel) match {
+      case None => df.sparkSession.emptyDataset[KgNode]
+      case Some(_) if ctx.config.strictMode =>
+        val encS = org.apache.spark.sql.Encoders.STRING
+        val encRaw = org.apache.spark.sql.Encoders.product[RawNode]
+        nodes(df.select(col(idCol)).as[String](encS)
+          .map(id => RawNode(id, inputLabel, Props.empty))(encRaw), bc)
+      case Some(cls) =>
+        val placeholder = "__graft_const_id__"
+        val tpl = KgNode.make(placeholder, cls, preferredId(ctx, cls),
+          filterProps(ctx, cls, Props.empty))
+        // Py.sanitize: "\r\n"→" ", then "\n"→" ", then "\r"→" " — the
+        // ordered alternation replicates the sequential replaces exactly
+        val sanitizedId = regexp_replace(col(idCol), "\r\n|\n|\r", " ")
+        val propCols = tpl.props.map { p =>
+          val vCol =
+            if (p.v != null && p.v.s == Py.sanitize(placeholder))
+              struct(sanitizedId.as("s"),
+                lit(null).cast("array<string>").as("arr"), lit("str").as("t"))
+            else
+              struct(
+                (if (p.v == null || p.v.s == null) lit(null).cast("string")
+                 else lit(p.v.s)).as("s"),
+                (if (p.v == null || p.v.arr == null) lit(null).cast("array<string>")
+                 else array(p.v.arr.map(lit(_)): _*).cast("array<string>")).as("arr"),
+                lit(if (p.v == null) "none" else p.v.t).as("t"))
+          struct(lit(p.k).as("k"), vCol.as("v"))
+        }
+        df.select(
+          col(idCol).cast("string").as("id"),
+          lit(tpl.label).as("label"),
+          (if (tpl.preferredId == null) lit(null).cast("string")
+           else lit(tpl.preferredId)).as("preferredId"),
+          array(propCols: _*).as("props")).as[KgNode]
+    }
+  }
+
   /** Translate edge tuples into edges or reified rel-as-node triplets
     * (reference: _translate.py:179-295). */
   def edges(ds: Dataset[RawEdge], bc: Broadcast[KgContext]): Dataset[Entity] = {

@@ -61,6 +61,36 @@ class TranslateSpec extends AnyFunSuite {
     assert(Props.contains(gout.props, "keep"))
   }
 
+  test("constNodes == typed nodes for every label, byte-identical rows") {
+    import org.apache.spark.sql.functions.col
+    // labels with whitelists (None-fill), preferred ids, virtual leaves —
+    // plus ids needing Py.sanitize (embedded newlines/CRs)
+    val ids = Seq("G9205", "A\nB", "C\r\nD", "E\rF", "plain")
+    for (label <- Seq("protein", "reactome", "mirna", "not_in_schema")) {
+      val typed = Translate.nodes(
+        spark.createDataset(ids.map(id => RawNode(id, label, Props.empty))), bc)
+        .collect().sortBy(_.id).toSeq
+      val const = Translate.constNodes(
+        ids.toDF("the_id"), "the_id", label, bc)
+        .collect().sortBy(_.id).toSeq
+      assert(const == typed, s"label=$label")
+    }
+    // strict-mode fallback still routes through the typed checks
+    val strictCtx = KgContext.build(
+      TestFixtures.resource("test_schema.yaml"),
+      TestFixtures.resource("biolink_mini.ttl"),
+      "entity", config = KgConfig(strictMode = true))
+    val bcStrict = spark.sparkContext.broadcast(strictCtx)
+    val e = intercept[Exception] {
+      Translate.constNodes(Seq("x").toDF("the_id"), "the_id", "protein", bcStrict)
+        .collect()
+    }
+    def hasStrict(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("Strict mode") || hasStrict(t.getCause))
+    assert(hasStrict(e))
+    val _ = col("") // keep the import used on all branches
+  }
+
   def edgeTuples: Seq[RawEdge] = Seq(
     RawEdge(null, "G15258", "MONDO1", "gene_disease", Props.empty),
     RawEdge(null, "G15258", "MONDO2", "protein_disease", Props.empty),

@@ -24,7 +24,14 @@ object Explain {
         "ann_ivf_index_topk", "kg_node_frame")
     names.foreach { name =>
       println(s"\n===================== $name =====================")
-      SparkEntry.queries.get(name) match {
+      if (name == "fused_ms") {
+        // the fused bench path over a staged parquet corpus: ReadSchema
+        // must show only spans.{kind,text} (nested pruning)
+        import spark.implicits._
+        val dir = BenchPipeline.ensureInput(spark, 2000)
+        val docs = spark.read.parquet(dir).as[graft.model.Doc]
+        KgPipeline.analytics(spark).mentionSets(docs).explain("formatted")
+      } else SparkEntry.queries.get(name) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None     => println(s"unknown query $name")
       }
