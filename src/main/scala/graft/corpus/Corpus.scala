@@ -110,4 +110,54 @@ object Corpus {
       }
     }
   }
+
+  /** [[synthesize]] with a GEOMETRIC hub-entity skew injected on top: term
+    * k of `hubTerms` is added to a doc's first text span with probability
+    * 2^-(k+1) — the head term appears in ~50% of ALL documents, harder than
+    * a Zipf tail (VERDICT r5 #3: the hub-entity extreme). Deterministic
+    * (same splitmix64 counter stream), so the skewed corpus is reproducible
+    * at any scale and the string/fused path comparison is exact. */
+  def synthesizeSkewed(
+      spark: SparkSession,
+      nDocs: Long,
+      vocab: IndexedSeq[String],
+      hubTerms: IndexedSeq[String],
+      seed: Long = 42L,
+      meanWords: Int = 40,
+      numPartitions: Int = 0,
+  ): Dataset[Doc] = {
+    import spark.implicits._
+    val base = synthesize(spark, nDocs, vocab, seed, meanWords, numPartitions)
+    val hubB = spark.sparkContext.broadcast(hubTerms)
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    base.mapPartitions { it =>
+      val hubs = hubB.value
+      val sb = new java.lang.StringBuilder(64)
+      it.map { d =>
+        // independent hub stream keyed off the doc id (stable under any
+        // change to the base generator's draw count)
+        var h = splitmix64(seed ^ 0x48554253L ^ d.doc_id.hashCode.toLong)
+        sb.setLength(0)
+        var k = 0
+        while (k < hubs.length && k < 20) {
+          h = splitmix64(h)
+          // P(include term k) = 2^-(k+1)
+          if ((h & ((1L << (k + 1)) - 1)) == 0) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(hubs(k))
+          }
+          k += 1
+        }
+        if (sb.length == 0) d
+        else {
+          val i = d.spans.indexWhere(_.kind == "text")
+          if (i < 0) d
+          else {
+            val s = d.spans(i)
+            d.copy(spans = d.spans.updated(i, s.copy(text = sb.toString + " " + s.text)))
+          }
+        }
+      }
+    }
+  }
 }

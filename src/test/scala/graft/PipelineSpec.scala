@@ -89,6 +89,32 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("hub-entity skewed corpus: fused == string pipeline, head term in ~half of docs (VERDICT r5 #3)") {
+    // geometric hub skew: dictionary term k prepended with P = 2^-(k+1), so
+    // the head entity lands in ~50% of ALL documents — the worst-case
+    // open-dictionary hub shape the per-doc pair cap + packed combiner must
+    // absorb without a straggling reduce key.
+    val hubs = AnalyticsDomain.dictionary.map(_._1)
+    val docs = Corpus.synthesizeSkewed(spark, 1200, AnalyticsDomain.vocab, hubs).persist()
+    val head = hubs.head
+    def headCount(ds: org.apache.spark.sql.Dataset[graft.model.Doc]): Long =
+      ds.filter(d => d.spans.exists(s => s.kind == "text" && s.text != null
+        && (" " + s.text + " ").contains(" " + head + " "))).count()
+    val headDocs = headCount(docs)
+    val baseDocs = headCount(Corpus.synthesize(spark, 1200, AnalyticsDomain.vocab))
+    // injection strictly increases hub density, and the result is the
+    // hub-entity extreme: head term in well over half of ALL documents
+    assert(headDocs > baseDocs, s"injection no-op: $headDocs vs base $baseDocs")
+    assert(headDocs >= 600, s"head hub in $headDocs/1200 docs, expected majority")
+    val pipe = graft.KgPipeline.analytics(spark)
+    val (ns, es, ts) = pipe.run(docs)
+    val (nsF, esF, tsF) = pipe.runFused(docs)
+    assert(nsF.collect().toSet == ns.collect().toSet)
+    assert(esF.collect().toSet == es.collect().toSet)
+    assert(tsF.collect().toSet == ts.collect().toSet)
+    docs.unpersist()
+  }
+
   test("ExtractMentions expression == string walk (ASCII byte path + non-ASCII fallbacks)") {
     import graft.model.{Doc, Span}
     import org.apache.spark.sql.GraftColumnBridge

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import graft.corpus.{AnalyticsDomain, Corpus}
+
+/** Hub-entity skew evidence probe (VERDICT r5 #3, not a driver surface):
+  * runs the FUSED pipeline over a geometrically hub-skewed corpus (head
+  * dictionary entity in ~50% of all docs) at one parallelism level, with a
+  * task-duration listener, and reports
+  *   - the triple count (compared across levels / against the string path
+  *     by the caller),
+  *   - per-stage max/median task duration for every stage with >= 8 tasks —
+  *     the straggler criterion is max <= 4x median.
+  * args = (cores, nDocs[, alsoString]).
+  */
+object ScratchSkew {
+
+  final class TaskStats extends SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        byStage.computeIfAbsent(t.stageId, _ => new java.util.Vector[Long]())
+          .add(t.taskInfo.duration)
+      }
+    }
+  }
+
+  def stageSkewReport(stats: TaskStats, minTasks: Int = 8): Seq[(Int, Int, Long, Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    stats.byStage.asScala.toSeq.sortBy(_._1).flatMap { case (sid, v) =>
+      val ds = v.asScala.map(_.toLong).toSeq.sorted
+      if (ds.length < minTasks) None
+      else {
+        val med = ds(ds.length / 2)
+        val mx = ds.last
+        Some((sid, ds.length, med, mx, if (med == 0) 1.0 else mx.toDouble / med))
+      }
+    }
+  }
+
+  def ensureSkewedInput(spark: SparkSession, nDocs: Long): String = {
+    val parts = math.max(8, math.ceil(nDocs / 125000.0).toInt)
+    val dir = s"/tmp/graft-bench-input/skewed-$nDocs-p$parts"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      Corpus.synthesizeSkewed(spark, nDocs, AnalyticsDomain.vocab,
+        AnalyticsDomain.dictionary.map(_._1), numPartitions = parts)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nDocs = args(1).toLong
+    val alsoString = args.length > 2 && args(2) == "string"
+    val spark = BenchPipeline.newSession(cores)
+    import spark.implicits._
+    val dir = ensureSkewedInput(spark, nDocs)
+    val docs = spark.read.parquet(dir).as[graft.model.Doc]
+    val pipe = KgPipeline.analytics(spark)
+    // warm-up (unlistened)
+    BenchPipeline.pipelineRun(spark, 2000)
+
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+    val t0 = System.nanoTime()
+    val (ns, es, ts) = pipe.runFused(docs)
+    val _ = (ns, es)
+    val nTriples = ts.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.sharedState.cacheManager.clearCache()
+    Thread.sleep(500) // let listener drain
+    println(f"SKEW fused cores=$cores docs=$nDocs sec=$sec%.2f triples=$nTriples")
+    val rep = stageSkewReport(stats)
+    rep.foreach { case (sid, n, med, mx, r) =>
+      println(f"SKEWSTAGE stage=$sid tasks=$n med_ms=$med max_ms=$mx ratio=$r%.2f")
+    }
+    println(f"SKEWMAXRATIO ${rep.map(_._5).maxOption.getOrElse(1.0)}%.2f")
+    if (alsoString) {
+      val t1 = System.nanoTime()
+      val (_, _, ts2) = pipe.run(docs)
+      val n2 = ts2.count()
+      println(f"SKEW string cores=$cores docs=$nDocs sec=${(System.nanoTime() - t1) / 1e9}%.2f triples=$n2 equal=${n2 == nTriples}")
+    }
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
+  }
+}
