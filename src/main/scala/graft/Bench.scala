@@ -15,6 +15,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Minimal stateful streaming drain (2 micro-batches, file source,
+    * flatMapGroupsWithState, memory sink): loads/JITs the incremental
+    * planner, state-store provider and offset/commit WAL paths once so the
+    * first real streaming row doesn't pay JVM class-loading. */
+  private def streamingWarmup(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val base = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
+      "graft-streamwarm-" + java.util.UUID.randomUUID().toString.take(8))
+    val in = new org.apache.hadoop.fs.Path(base, "in").toString
+    spark.range(16).selectExpr("id", "id % 4 as k").repartition(2)
+      .write.mode("overwrite").parquet(in)
+    val q = spark.readStream
+      .schema("id LONG, k LONG").option("maxFilesPerTrigger", 1).parquet(in)
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Long](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+          val n = st.getOption.getOrElse(0L) + rows.size
+          st.update(n); Iterator.single(n)
+      }
+      .writeStream.format("memory").queryName("graft_stream_warm")
+      .outputMode("append")
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(base, true)
+  }
+
   /** Re-invoke this JVM's java with the same classpath/module flags on a
     * different main class (one fresh JVM per parallelism level).
     * `reps` overrides the child's best-of count when non-empty. */
@@ -182,6 +214,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "nation", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // same policy for the streaming machinery: the incremental planner,
+    // state-store provider and WAL classes cost ~1.8s on first use in a JVM
+    // (measured: first AvailableNow drain 3.8s, every later drain ~1.9s
+    // regardless of state parallelism/provider) — a JVM-wide one-time cost
+    // that batch rows amortize over 57 queries but the single streaming row
+    // would pay alone. Warm it with a minimal stateful drain so
+    // kg_stream_nodes measures the streaming operators, not class loading.
+    streamingWarmup(spark)
     // one-time per-corpus artifact builds (IVF centroids/index, LSH
     // candidate set, clusters) are timed as their OWN lines so the first
     // consumer query's row measures the query, not the build (VERDICT r4 #8)

@@ -78,7 +78,11 @@ object ScratchSkew {
     rep.foreach { case (sid, n, med, mx, r) =>
       println(f"SKEWSTAGE stage=$sid tasks=$n med_ms=$med max_ms=$mx ratio=$r%.2f")
     }
-    println(f"SKEWMAXRATIO ${rep.map(_._5).maxOption.getOrElse(1.0)}%.2f")
+    // headline straggler ratio counts only stages whose slowest task is
+    // itself significant (>= 500 ms): a 3 ms-median stage with a 200 ms max
+    // is first-task scheduling/codegen jitter, not data skew
+    val big = rep.filter(_._4 >= 500)
+    println(f"SKEWMAXRATIO ${big.map(_._5).maxOption.getOrElse(1.0)}%.2f (over ${big.size} stages with max>=500ms; all-stage max ${rep.map(_._5).maxOption.getOrElse(1.0)}%.2f)")
     if (alsoString) {
       val t1 = System.nanoTime()
       val (_, _, ts2) = pipe.run(docs)
