@@ -266,15 +266,23 @@ final class KgPipeline(
     * per DOCUMENT (~4x less cache traffic at ~14 mentions/doc), doc ids are
     * distinct by construction (no run-distinct pass), and per-doc consumers
     * need no run-contiguity contract — each row IS a document. */
-  def mentionSets(docs: Dataset[Doc]): DataFrame =
+  def mentionSets(docs: Dataset[Doc]): DataFrame = {
     // kind/text as parallel GetArrayStructFields extractions: nested schema
     // pruning narrows the parquet ReadSchema to spans.{kind,text} — the
     // scan never decodes media_ref/offset (the whole-struct ExtractMentions
     // form read all four nested columns)
-    docs.toDF.select(col("doc_id"),
-        exprCol(graft.functions.ExtractMentionsKT(
-          colExpr(col("spans.kind")), colExpr(col("spans.text")), bcDict)).as("pm"))
+    val extract = exprCol(graft.functions.ExtractMentionsKT(
+      colExpr(col("spans.kind")), colExpr(col("spans.text")), bcDict))
+    // explode(array(e)) is a pushdown barrier, not a transformation: a bare
+    // `select(e as pm).where(size(pm) > 0)` lets PushPredicateThroughNonJoin
+    // inline the expression into the filter UNDER the projection, and
+    // whole-stage codegen shares no subexpressions across Filter/Project —
+    // the trie walk ran TWICE per document (measured +2-3s at 16M docs /
+    // 16 cores; ScratchDoubleEval). The Generate evaluates it once and the
+    // filter reads the generated column.
+    docs.toDF.select(col("doc_id"), explode(array(extract)).as("pm"))
       .where(size(col("pm")) > 0)
+  }
 
   /** [[nodes]] over the mention-set table: the corpus-sized rank distinct
     * runs as a dictionary-bounded per-partition set collector
