@@ -17,10 +17,12 @@ import graft.translate.Translate
   * Scale discipline:
   *  - mention detection emits ONE thin row per (doc, entity) — per-doc
   *    aggregation happens inside the flatMap, no shuffle;
-  *  - every distinct/dedup runs over FLAT string/long columns so Catalyst
-  *    uses codegen'd HashAggregate with map-side partial aggregation
-  *    (fat rows with array<struct> props would force ObjectHashAggregate's
-  *    sort-based fallback — measured 15x slower at 300k docs);
+  *  - every distinct/dedup runs over FLAT string/long columns with
+  *    map-side partial aggregation (fat rows with array<struct> props
+  *    would force ObjectHashAggregate's sort-based fallback — measured
+  *    15x slower at 300k docs); the one struct-min winner pass in the
+  *    string path is a SortAggregate by HashAggregateExec's buffer rules
+  *    (see [[nodes]]) — the scale paths aggregate ints only;
   *  - property bags are attached AFTER the shuffles, in narrow maps;
   *  - the dictionary/ontology side is broadcast, never shuffled.
   * Total exchanges per run: doc-distinct, entity-distinct, co-occurrence
@@ -64,9 +66,19 @@ final class KgPipeline(
     * only for the (small) distinct survivors. */
   def nodes(dm: Dataset[DocMention]): Dataset[KgNode] = {
     // ONE node per curie even when several surface aliases link to the same
-    // entity (reference global id uniqueness, _deduplicate.py:44-51):
-    // min(struct) keeps a deterministic (cls, surface) pair, and groupBy on
-    // the thin rows gets map-side partial aggregation in one shuffle.
+    // entity (reference global id uniqueness, _deduplicate.py:44-51): a
+    // deterministic (cls, surface) winner per curie: min(struct) with
+    // map-side partial aggregation in one shuffle. NOTE this pass is a
+    // SortAggregate, not HashAggregate: a struct (or string) min needs a
+    // variable-width aggregation buffer, which HashAggregateExec does not
+    // support, and the hash-friendly rewrite (distinct() on the three
+    // columns first, then min(struct) over the dictionary-bounded
+    // survivors) is merged straight back by RemoveRedundantAggregates
+    // (min is duplicate-insensitive, so Catalyst deletes the inner
+    // distinct). Accepted: this is the reference-parity path; the scale
+    // path (nodesFromSets/nodesFromRanks) never aggregates structs over
+    // corpus-sized input - its big pass is a dictionary-bounded rank-set
+    // combiner.
     val entityThin = dm.groupBy(col("curie"))
       .agg(min(struct(col("cls"), col("surface"))).as("cs"))
       .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
