@@ -287,18 +287,25 @@ object AnnOps {
     * filter at minCos. Expects a `vs` column of sorted (vec_id, embedding)
     * structs. */
   private def scoredPairsFromBuckets(byBucket: DataFrame, minCos: Double): DataFrame = {
-    val pairs = byBucket.select(explode(flatten(transform(col("vs"), (x, i) =>
-      transform(slice(col("vs"), i + 2, size(col("vs"))),
-        y => struct(x.getField("vec_id").as("vec_a"),
-          y.getField("vec_id").as("vec_b"),
-          x.getField("embedding").as("ea"),
-          y.getField("embedding").as("eb")))))).as("p"))
-    val cos = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.functions.QuantizedCosinePair(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("p.ea")),
-        org.apache.spark.sql.GraftColumnBridge.expression(col("p.eb"))))
-    pairs.select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-        round(cos, 6).as("cosine"))
+    // the cosine is computed INSIDE the pair-generation lambda, so each
+    // pair's score exists exactly once in the plan: scoring it in a select
+    // above the Generate let predicate pushdown inline the (expensive)
+    // QuantizedCosinePair into the filter below the projection, running
+    // the dot product twice per surviving pair. As a bonus the exploded
+    // rows carry (id, id, score) instead of two embedding vectors.
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.QuantizedCosinePair(
+          org.apache.spark.sql.GraftColumnBridge.expression(a),
+          org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    byBucket.select(explode(flatten(transform(col("vs"), (x, i) =>
+        transform(slice(col("vs"), i + 2, size(col("vs"))),
+          y => struct(x.getField("vec_id").as("vec_a"),
+            y.getField("vec_id").as("vec_b"),
+            round(cosine(x.getField("embedding"), y.getField("embedding")), 6)
+              .as("cosine")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine").as("cosine"))
       .filter(col("cosine") >= minCos)
   }
 

@@ -181,13 +181,21 @@ object DedupOps {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val reduced = sets.join(candDocs, Seq("doc_id"), "left_semi")
+    // n_common comes out of an explode(array(e)) Generate, a pushdown
+    // barrier: with plain withColumn+filter, the jaccard predicate was
+    // pushed INTO the second join's condition, inlining the (expensive)
+    // array_intersect into the join condition AND keeping it in the
+    // projection - evaluated up to three times per passing pair. Behind
+    // the barrier the intersection runs exactly once; the filter's
+    // remaining arithmetic over (n_common, sizes) is cheap to re-derive.
     cand
       .join(reduced.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(reduced.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), size(col("ha")).as("sz_a"), size(col("hb")).as("sz_b"),
+        explode(array(size(array_intersect(col("ha"), col("hb"))).cast("long"))).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (size(col("ha")) + size(col("hb")) - col("n_common")).cast("double"))
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
