@@ -57,6 +57,15 @@ final class KgContext(
       case None      => Naming.nameSentenceToPascal(cls)
     }
 
+  /** Single-term translation: input label -> ontology label, None when
+    * unmapped (reference: _translate.py:369-374). */
+  def translateTerm(term: String): Option[String] = queryMappings.get(term)
+
+  /** Single-term reverse translation: ontology label -> input label(s)
+    * (reference: _translate.py:376-381). */
+  def reverseTranslateTerm(term: String): Option[List[String]] =
+    reverseQueryMappings.get(term)
+
   /** Cypher query label rewrite (reference: _translate.py:383-396). */
   def translateQuery(query: String): String =
     queryMappings.foldLeft(query) { case (q, (k, v)) => q.replace(":" + k, ":" + v) }

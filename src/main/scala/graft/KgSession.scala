@@ -235,8 +235,57 @@ final class KgSession(
   def translate(query: String): String = ctx.translateQuery(query)
   def reverseTranslate(query: String): String = ctx.reverseTranslateQuery(query)
 
+  /** Single-term translation, None when unmapped
+    * (reference: _core.py:757-772). */
+  def translateTerm(term: String): Option[String] = ctx.translateTerm(term)
+  def reverseTranslateTerm(term: String): Option[List[String]] =
+    ctx.reverseTranslateTerm(term)
+
+  /** Reference `summary()` (reference: _core.py:774-781): ontology
+    * structure + duplicate report + schema presence, one report string.
+    * The ontology half renders when the caller passes the driver-side
+    * [[graft.ontology.Ontology]] (the session context keeps only its
+    * broadcastable ancestor closure, not the tree). Duplicate counts are
+    * computed distributed and only the >1 groups are collected. */
+  def summary(nodes: Dataset[KgNode], edges: Dataset[KgEdge],
+      ontology: Option[graft.ontology.Ontology] = None): String = {
+    val sb = new StringBuilder
+    ontology.foreach { o => sb ++= o.showOntologyStructure(); sb += '\n' }
+    val dupN = graft.dedup.Dedup.duplicateNodeReport(nodes)
+      .orderBy("label", "id").collect()
+    val dupE = graft.dedup.Dedup.duplicateEdgeReport(edges)
+      .orderBy("label", "id").collect()
+    sb ++= s"Duplicate node ids: ${dupN.length}\n"
+    dupN.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    sb ++= s"Duplicate edge keys: ${dupE.length}\n"
+    dupE.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    sb ++= schemaInfoYaml(nodes, edges)
+    sb.toString
+  }
+
   /** Config warnings surfaced at construction (file-config path only). */
   var configWarnings: List[String] = Nil
+
+  /** Reference `write_schema_info` (reference: _core.py:673-753): writes
+    * the schema YAML (runtime presence flags) as `schema_info.yaml` in the
+    * output directory and returns it; with `asNode`, also force-writes ONE
+    * `schema_info` node carrying the YAML straight through the sink —
+    * bypassing schema translation exactly like the reference's `force=True`
+    * (`schema_info` is not a schema class; the part files land pascal-cased
+    * as `SchemaInfo-part*`) — and re-renders the import call so the extra
+    * file is loaded (_core.py:741-752). */
+  def writeSchemaInfo(nodes: Dataset[KgNode], edges: Dataset[KgEdge],
+      asNode: Boolean = false): String = {
+    val yaml = schemaInfoYaml(nodes, edges)
+    graft.sinks.BatchSink.writeDriverFile(outDir, "schema_info.yaml", yaml)
+    if (asNode) {
+      sink.writeNodes(spark.createDataset(Seq(
+        KgNode.make("schema_info", "schema_info", null,
+          Props.of("schema_info" -> PV.str(yaml))))))
+      writeImportCall()
+    }
+    yaml
+  }
 
   /** Schema info with runtime presence flags (reference: _core.py:673-753),
     * as YAML text for the sidecar. */

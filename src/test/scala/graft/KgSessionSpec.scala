@@ -200,6 +200,47 @@ class KgSessionSpec extends AnyFunSuite {
     assert(yaml.contains("microRNA:\n  represented_as: node\n  present_in_knowledge_graph: False"))
   }
 
+  test("term translation + summary report (reference _core.py:757-781)") {
+    val s = session()
+    assert(s.translateTerm("protein").contains("Protein"))
+    assert(s.translateTerm("gene_disease").contains("PERTURBED_IN_DISEASE"))
+    assert(s.translateTerm("no_such_label").isEmpty)
+    assert(s.reverseTranslateTerm("Protein").contains(List("protein")))
+    assert(s.reverseTranslateTerm("NoSuchLabel").isEmpty)
+    val ns = spark.createDataset(Seq(
+      KgNode.make("p1", "protein", "uniprot", Props.empty),
+      KgNode.make("p1", "protein", "uniprot", Props.empty)))
+    val es = spark.emptyDataset[KgEdge]
+    val rep = s.summary(ns, es)
+    assert(rep.contains("Duplicate node ids: 1"))
+    assert(rep.contains("protein p1 x2"))
+    assert(rep.contains("Duplicate edge keys: 0"))
+    assert(rep.contains("present_in_knowledge_graph: True"))
+  }
+
+  test("writeSchemaInfo asNode force-writes the schema_info node (reference _core.py:741-752)") {
+    val s = session()
+    val ns = spark.createDataset(Seq(
+      KgNode.make("p1", "protein", "uniprot", Props.empty)))
+    val es = spark.emptyDataset[KgEdge]
+    val yaml = s.writeSchemaInfo(ns, es, asNode = true)
+    assert(yaml.contains("present_in_knowledge_graph: True"))
+    val out = new java.io.File(s.outDir)
+    def allFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allFiles) else Seq(f)
+    // the YAML sidecar always lands (reference _core.py:737)
+    assert(allFiles(out).exists(_.getName == "schema_info.yaml"))
+    // the forced node bypasses schema translation and lands as its own
+    // label's part files, pascal-cased like every label file (sentence-case
+    // pascal splits on spaces, so "schema_info" -> "Schema_info", matching
+    // the reference's name_sentence_to_pascal)
+    val schemaParts = allFiles(out).filter(_.getName.startsWith("Schema_info-part"))
+    assert(schemaParts.nonEmpty, s"expected Schema_info part files under ${s.outDir}")
+    val content = schemaParts.filter(_.getName.endsWith(".csv"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(content.contains("schema_info"))
+  }
+
   test("seen-set TTL + compaction: within-horizon keys dedup, expired keys re-emit, one snapshot") {
     // injectable clock, 1000 ms horizon (VERDICT r4 #9 — the batch-session
     // twin of the streaming state TTL)
