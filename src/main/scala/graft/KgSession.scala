@@ -232,6 +232,61 @@ final class KgSession(
     accEdges.map(_.toDF()).getOrElse(spark.emptyDataset[KgEdge].toDF()),
   )
 
+  /** Accumulated KG in the NetworkX-loader shape (reference `to_networkx`,
+    * _core.py:218-220 — the same `_to_KG` materialization as `to_df`). The
+    * nx.DiGraph itself is a Python-runtime object a JVM engine cannot hold,
+    * so the surface is the exact frame pair the [[graft.sinks.NetworkxSink]]
+    * import script feeds `nx.from_pandas_edgelist`: nodes as
+    * (node_id, node_label, attrs JSON), edges as
+    * (source_id, target_id, relationship_label). */
+  def toNetworkx(): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val nodesDf = accNodes.flatMap { ns =>
+      val (frames, base) = Tables.nodeFramesWithHandle(ctx, ns)
+      frameBases = frameBases :+ base
+      frames.values.map(df => df.select(col("node_id"), col("node_label"),
+        to_json(struct(df.columns.filterNot(Set("node_id", "node_label"))
+          .map(col).toIndexedSeq: _*)).as("attrs")))
+        .reduceOption(_ unionByName _)
+    }.getOrElse(Seq.empty[(String, String, String)]
+      .toDF("node_id", "node_label", "attrs"))
+    val edgesDf = accEdges.map(_.toDF().select(
+      col("src").as("source_id"),
+      col("tgt").as("target_id"),
+      col("label").as("relationship_label"),
+    )).getOrElse(Seq.empty[(String, String, String)]
+      .toDF("source_id", "target_id", "relationship_label"))
+    (nodesDf, edgesDf)
+  }
+
+  /** Input labels with no schema entry, with occurrence counts (reference
+    * `log_missing_input_labels`, _core.py:559-588). The collect is bounded
+    * by the number of DISTINCT unmapped labels — the per-label counts are
+    * the distributed analogue of the reference's in-process label lists. */
+  def logMissingInputLabels(rawNodes: Dataset[RawNode],
+      rawEdges: Dataset[RawEdge]): Map[String, Long] = {
+    val n = Translate.missingNodeTypes(spark, rawNodes, bcCtx).collect()
+    val e = Translate.missingEdgeTypes(spark, rawEdges, bcCtx).collect()
+    (n ++ e).map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Duplicate nodes/edges report (reference `log_duplicates`,
+    * _core.py:590-637: duplicate types at info, ids at debug — here one
+    * string, first 20 ids per kind). Counts run distributed; only >1
+    * groups are collected. */
+  def logDuplicates(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String = {
+    val sb = new StringBuilder
+    val dupN = graft.dedup.Dedup.duplicateNodeReport(nodes)
+      .orderBy("label", "id").collect()
+    val dupE = graft.dedup.Dedup.duplicateEdgeReport(edges)
+      .orderBy("label", "id").collect()
+    sb ++= s"Duplicate node ids: ${dupN.length}\n"
+    dupN.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    sb ++= s"Duplicate edge keys: ${dupE.length}\n"
+    dupE.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    sb.toString
+  }
+
   def translate(query: String): String = ctx.translateQuery(query)
   def reverseTranslate(query: String): String = ctx.reverseTranslateQuery(query)
 
@@ -251,14 +306,7 @@ final class KgSession(
       ontology: Option[graft.ontology.Ontology] = None): String = {
     val sb = new StringBuilder
     ontology.foreach { o => sb ++= o.showOntologyStructure(); sb += '\n' }
-    val dupN = graft.dedup.Dedup.duplicateNodeReport(nodes)
-      .orderBy("label", "id").collect()
-    val dupE = graft.dedup.Dedup.duplicateEdgeReport(edges)
-      .orderBy("label", "id").collect()
-    sb ++= s"Duplicate node ids: ${dupN.length}\n"
-    dupN.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
-    sb ++= s"Duplicate edge keys: ${dupE.length}\n"
-    dupE.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    sb ++= logDuplicates(nodes, edges)
     sb ++= schemaInfoYaml(nodes, edges)
     sb.toString
   }

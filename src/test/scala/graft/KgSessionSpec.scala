@@ -200,6 +200,39 @@ class KgSessionSpec extends AnyFunSuite {
     assert(yaml.contains("microRNA:\n  represented_as: node\n  present_in_knowledge_graph: False"))
   }
 
+  test("toNetworkx frames match the NetworkxSink loader shape (reference _core.py:218-220)") {
+    val s = session()
+    s.addNodes(spark.createDataset(Seq(protein("p1"))))
+    s.addEdges(spark.createDataset(Seq(
+      RawEdge("r1", "p1", "p2", "phosphorylation", Props.of("score" -> PV.dbl(0.7))))))
+    val (nx, ex) = s.toNetworkx()
+    assert(nx.columns.toSeq == Seq("node_id", "node_label", "attrs"))
+    assert(ex.columns.toSeq == Seq("source_id", "target_id", "relationship_label"))
+    val n = nx.filter(nx("node_id") === "p1").head()
+    // in-memory labels stay sentence-case class names, same as toDf keys
+    assert(n.getAs[String]("node_label") == "protein")
+    assert(n.getAs[String]("attrs").contains("\"taxon\":9606"))
+    assert(ex.count() == 1)
+    // empty session: schema-stable empty frames, no exceptions
+    val (en, ee) = session().toNetworkx()
+    assert(en.count() == 0 && ee.count() == 0)
+  }
+
+  test("logMissingInputLabels reports unmapped input labels with counts (reference _core.py:559-588)") {
+    val s = session()
+    val miss = s.logMissingInputLabels(
+      spark.createDataset(Seq(protein("p1"),
+        RawNode("m1", "mystery_kind", Props.empty),
+        RawNode("m2", "mystery_kind", Props.empty))),
+      spark.createDataset(Seq(
+        RawEdge("r1", "a", "b", "unknown_rel", Props.empty))))
+    assert(miss == Map("mystery_kind" -> 2L, "unknown_rel" -> 1L))
+    // all-mapped input: empty map, mirroring the reference's None branch
+    assert(s.logMissingInputLabels(
+      spark.createDataset(Seq(protein("p9"))),
+      spark.emptyDataset[RawEdge]).isEmpty)
+  }
+
   test("term translation + summary report (reference _core.py:757-781)") {
     val s = session()
     assert(s.translateTerm("protein").contains("Protein"))
