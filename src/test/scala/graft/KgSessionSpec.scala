@@ -249,6 +249,15 @@ class KgSessionSpec extends AnyFunSuite {
     assert(rep.contains("protein p1 x2"))
     assert(rep.contains("Duplicate edge keys: 0"))
     assert(rep.contains("present_in_knowledge_graph: True"))
+    // with the driver-side ontology passed, the tree renders first
+    // (reference summary() chains show_ontology_structure, _core.py:774-781)
+    val onto = graft.ontology.Ontology.fromTtl(
+      TestFixtures.resource("biolink_mini.ttl"), "entity",
+      graft.schema.SchemaExpander.extend(
+        graft.schema.SchemaExpander.parseYaml(TestFixtures.resource("test_schema.yaml"))))
+    val withTree = s.summary(ns, es, Some(onto))
+    assert(withTree.indexOf("entity") >= 0 &&
+      withTree.indexOf("entity") < withTree.indexOf("Duplicate node ids"))
   }
 
   test("writeSchemaInfo asNode force-writes the schema_info node (reference _core.py:741-752)") {
