@@ -171,6 +171,18 @@ final class KgSession(
     } finally entities.unpersist(blocking = false)
   }
 
+  /** Force path (reference `write_nodes(…, force=True)`,
+    * _core.py:421-444 → `_write_node_data(…, force)`,
+    * _batch_writer.py:479): write ALREADY-TRANSLATED nodes straight
+    * through the sink, bypassing schema translation and the label drop —
+    * labels outside the schema render with their first row's property
+    * layout. The reference uses this for the `schema_info` node; exposed
+    * because adapters with pre-translated entities need the same door.
+    * Session dedup still applies (the reference's force flag skips
+    * translation, not the Deduplicator). */
+  def writeNodesForce(nodes: Dataset[KgNode]): Unit =
+    dedupNodesAgainstSeen(nodes)(sink.writeNodes)
+
   def writeHeaders(): Unit = sink match {
     case b: BatchSink => b.writeHeaders()
     case _            => () // RDF/plain-CSV/NetworkX have no header files
@@ -258,6 +270,13 @@ final class KgSession(
       .toDF("source_id", "target_id", "relationship_label"))
     (nodesDf, edgesDf)
   }
+
+  /** Reference `get_kg` (reference: _core.py:517-539): the accumulated
+    * in-memory KG in the shape the session's dbms implies — the
+    * NetworkX-loader frame pair for `networkx`, per-label property-pivoted
+    * frames otherwise (the reference's pandas path). */
+  def getKg(): Either[ListMap[String, DataFrame], (DataFrame, DataFrame)] =
+    if (dbms == "networkx") Right(toNetworkx()) else Left(toDf())
 
   /** Input labels with no schema entry, with occurrence counts (reference
     * `log_missing_input_labels`, _core.py:559-588). The collect is bounded

@@ -200,6 +200,31 @@ class KgSessionSpec extends AnyFunSuite {
     assert(yaml.contains("microRNA:\n  represented_as: node\n  present_in_knowledge_graph: False"))
   }
 
+  test("writeNodesForce writes out-of-schema labels through the sink (reference force=True, _batch_writer.py:479)") {
+    val s = session()
+    s.writeNodesForce(spark.createDataset(Seq(
+      KgNode.make("x1", "custom_thing", null, Props.of("note" -> PV.str("n"))))))
+    val out = new java.io.File(s.outDir)
+    def allFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(allFiles) else Seq(f)
+    assert(allFiles(out).exists(_.getName.startsWith("Custom_thing-part")),
+      s"expected Custom_thing part files, saw ${allFiles(out).map(_.getName).mkString(",")}")
+  }
+
+  test("getKg returns the dbms-shaped in-memory KG (reference _core.py:517-539)") {
+    val s = session() // neo4j -> per-label frames
+    s.addNodes(spark.createDataset(Seq(protein("p1"))))
+    assert(s.getKg().left.toOption.exists(_.contains("protein")))
+    val nx = session("networkx")
+    nx.addNodes(spark.createDataset(Seq(protein("p1"))))
+    nx.getKg() match {
+      case Right((n, e)) =>
+        assert(n.columns.toSeq == Seq("node_id", "node_label", "attrs"))
+        assert(n.count() == 1 && e.count() == 0)
+      case Left(_) => fail("networkx session must return the frame pair")
+    }
+  }
+
   test("toNetworkx frames match the NetworkxSink loader shape (reference _core.py:218-220)") {
     val s = session()
     s.addNodes(spark.createDataset(Seq(protein("p1"))))
