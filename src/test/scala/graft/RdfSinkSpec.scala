@@ -34,6 +34,26 @@ class RdfSinkSpec extends AnyFunSuite {
     assert(lines.contains(s"<${bc}op:join> <${bc}tags> " + "\"b\" ."))
   }
 
+  test("N-Triples literals escape hostile strings at both layers") {
+    val s = sink(java.nio.file.Files.createTempDirectory("rdf-"))
+    // Layer 1: PV.str scrubs line breaks to spaces at entity creation
+    // (reference _create.py:73-102) — the canonical ingestion path
+    val n = KgNode("op:evil", "relational operator", "op",
+      Props.of("name" -> PV.str("a\\b\"c\nd\re")))
+    val lit = s.nodeLines(n).filter(_.contains(s"<${bc}name>"))
+    assert(lit.size == 1)
+    // backslash escaped FIRST (added escapes not re-escaped), then quote
+    assert(lit.head.contains("\"a\\\\b\\\"c d e\""), lit.head)
+    // Layer 2: a PV constructed directly (raw parquet decode bypasses
+    // PV.str) still cannot break the line-oriented format — literal()
+    // escapes \n/\r defensively
+    val raw = KgNode("op:raw", "relational operator", "op",
+      Props.of("name" -> PV("x\ny\rz", null, "str")))
+    val rawLit = s.nodeLines(raw).filter(_.contains(s"<${bc}name>"))
+    assert(rawLit.head.contains("\"x\\ny\\rz\""), rawLit.head)
+    assert(!rawLit.head.contains('\n') && !rawLit.head.contains('\r'))
+  }
+
   test("property names resolve through core vocabularies first") {
     assert(RdfVocab.propertyToUri("label") == RdfVocab.Rdfs + "label")
     assert(RdfVocab.propertyToUri("sameAs") == RdfVocab.Owl + "sameAs")
