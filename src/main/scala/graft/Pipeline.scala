@@ -95,9 +95,17 @@ final class KgPipeline(
   /** Shared tail of the rank-coded node paths: `ranks` is a one-int-column
     * corpus-sized frame (possibly with duplicates), `docIds` already
     * distinct. */
-  private def nodesFromRanks(ranks: DataFrame, docIds: Dataset[String]): Dataset[KgNode] = {
+  private def nodesFromRanks(ranks: DataFrame, docIds: Dataset[String]): Dataset[KgNode] =
+    nodesFrom(entityThinFromRanks(ranks), docIds)
+
+  /** Dictionary-bounded (curie, cls, surface) winners for a one-int-column
+    * `rank` frame (duplicates allowed): decode via the broadcast dictionary,
+    * then the same deterministic min(cls, surface) winner per curie as the
+    * string path — shared by the rank-coded node paths and the fused
+    * triples path. */
+  private def entityThinFromRanks(ranks: DataFrame): DataFrame = {
     val bd = bcDict
-    val entityThin = ranks.distinct()
+    ranks.distinct()
       .as[Int]
       .map { r => val e = bd.value.byRank(r); (e.curie, e.cls, e.surface) }
       .toDF("curie", "cls", "surface")
@@ -106,7 +114,6 @@ final class KgPipeline(
       .groupBy(col("curie"))
       .agg(min(struct(col("cls"), col("surface"))).as("cs"))
       .select(col("curie"), col("cs.cls").as("cls"), col("cs.surface").as("surface"))
-    nodesFrom(entityThin, docIds)
   }
 
   private def nodesFrom(entityThin: DataFrame, docIds: Dataset[String]): Dataset[KgNode] = {
@@ -220,15 +227,18 @@ final class KgPipeline(
     ).as[KgEdge]
   }
 
-  /** The judged (subj, pred, obj) table: rdf:type triples for every node +
-    * one triple per edge. */
-  def triples(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): Dataset[Triple] = {
-    // tiny label -> head-ancestor-type map, folded into the plan as a literal
-    val labelType: Map[String, String] = ctxRef.specs.keys.map { k =>
+  /** Tiny label -> head-ancestor-type map, folded into triple plans as a
+    * literal. */
+  @transient private lazy val labelTypeMap: Map[String, String] =
+    ctxRef.specs.keys.map { k =>
       k -> ctxRef.ancestors.get(k).flatMap(_.headOption)
         .getOrElse(graft.model.Naming.nameSentenceToPascal(k))
     }.toMap
-    val typeMap = typedLit(labelType)
+
+  /** The judged (subj, pred, obj) table: rdf:type triples for every node +
+    * one triple per edge. */
+  def triples(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): Dataset[Triple] = {
+    val typeMap = typedLit(labelTypeMap)
     val typeTriples = nodes.select(
       col("id").as("subj"),
       lit("rdf:type").as("pred"),
@@ -357,9 +367,91 @@ final class KgPipeline(
       ).as[KgEdge]
   }
 
+  /** [[triples]] built STRAIGHT from the packed mention-set cache — no
+    * KgNode/KgEdge row building, no property bags, no count aggregation (a
+    * triple is presence, not frequency). Output identical to
+    * `triples(nodesFromSets(ms), mentionEdgesFromSets(ms) union
+    * cooccurrenceEdgesFromSets(ms))` (spec-proven, PipelineSpec); the plan
+    * is the win:
+    *  - rank presence AND co-occurrence pairs come from ONE shared combiner
+    *    scan ([[graft.extract.CoocCombine.partialPairAndRankKeys]] — ranks
+    *    ride as self-pairs, unambiguous because real pairs are strictly
+    *    a < b): the distinct packed keys are dictionary-bounded and lazily
+    *    `localCheckpoint`ed, so the corpus-sized scan + combiner + distinct
+    *    exchange run ONCE per action no matter how many consumers sit above
+    *    (measured: AQE did NOT stage-reuse the three analyzer-cloned copies
+    *    of the object-operator subtree, so plan-level sharing alone
+    *    re-scanned the cache per consumer). The checkpoint is a leaf — a
+    *    free pushdown barrier — and its blocks are freed by the
+    *    ContextCleaner when the dataset goes unreachable (no cache leak).
+    *    Cluster note: localCheckpoint blocks are lineage-truncated, so an
+    *    executor loss fails the job instead of recomputing — at 100 TB run
+    *    this stage with `spark.checkpoint.dir`-backed reliable checkpoints
+    *    or task retry at the job level; the data is ≤ C(|dict|, 2) longs;
+    *  - mention triples are explode + broadcast rank decode + a 3-column
+    *    select (the KgEdge path built a props bag per row);
+    *  - doc rdf:type triples are a doc_id-only cache read (nested-column
+    *    pruned) + the same broadcast anti-join as the node path — the
+    *    constant obj is resolved on the driver from the SAME translation
+    *    tables ([[labelTypeMap]]), so parity cannot drift;
+    *  - co-occurrence triples decode the distinct pairs only (no n_docs
+    *    sum — the aggregate the edge path pays is dropped, not pruned). */
+  def triplesFromSets(ms: DataFrame,
+      maxEntitiesPerDoc: Int = Mentions.DefaultMaxEntitiesPerDoc): Dataset[Triple] = {
+    val typeMap = typedLit(labelTypeMap)
+    val keys = graft.extract.CoocCombine.partialPairAndRankKeys(
+        ms.select(col("pm")).as[Array[Long]], bcDict, maxEntitiesPerDoc)
+      .toDF("k").distinct()
+      .localCheckpoint(false) // lazy: materializes with the first action
+    val hi = shiftright(col("k"), 32).cast("int")
+    val lo = col("k").bitwiseAND(lit(0xffffffffL)).cast("int")
+    val entityThin = entityThinFromRanks(keys.filter(hi === lo).select(hi.as("rank")))
+    val entityRaw = entityThin
+      .as[(String, String, String)]
+      .map { case (curie, cls, surface) =>
+        RawNode(curie, cls, Props.of("name" -> PV.str(surface)))
+      }
+    val entityType = Translate.nodes(entityRaw, bcCtx).select(
+      col("id").as("subj"),
+      lit("rdf:type").as("pred"),
+      coalesce(element_at(typeMap, col("label")), col("label")).as("obj"))
+    val docType = ctxRef.inputLabelToClass.get("document") match {
+      case None => spark.emptyDataset[Triple].toDF()
+      case Some(cls) =>
+        // KgNode.make keeps the class name as the label, so the rdf:type
+        // obj of every document node is one driver-resolved constant
+        val obj = labelTypeMap.getOrElse(cls, cls)
+        ms.select(col("doc_id"))
+          .join(broadcast(entityThin.select(col("curie").as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("subj"),
+            lit("rdf:type").as("pred"), lit(obj).as("obj"))
+    }
+    val mentionCls = ctxRef.inputLabelToClass("mentions")
+    val mentionLabel = ctxRef.specs(mentionCls).labelAsEdge.getOrElse(mentionCls)
+    val mentionTriples = ms.select(col("doc_id"), explode(col("pm")).as("p"))
+      .select(col("doc_id"), shiftright(col("p"), 32).cast("int").as("rank"))
+      .join(broadcast(rankCurie), Seq("rank"))
+      .select(col("doc_id").as("subj"),
+        lit(mentionLabel).as("pred"), col("curie").as("obj"))
+    val coocCls = ctxRef.inputLabelToClass("cooccurs")
+    val coocLabel = ctxRef.specs(coocCls).labelAsEdge.getOrElse(coocCls)
+    val coocTriples = keys.filter(hi =!= lo)
+      .select(hi.as("src_rank"), lo.as("tgt_rank"))
+      .join(broadcast(rankCurie.select(col("rank").as("src_rank"), col("curie").as("src"))),
+        Seq("src_rank"))
+      .join(broadcast(rankCurie.select(col("rank").as("tgt_rank"), col("curie").as("tgt"))),
+        Seq("tgt_rank"))
+      .select(col("src").as("subj"), lit(coocLabel).as("pred"), col("tgt").as("obj"))
+    entityType.union(docType).union(mentionTriples).union(coocTriples).as[Triple]
+  }
+
   /** [[run]] on the fused mention-set path — the path the throughput
     * benchmark and a 100-TB deployment use. Output identical to [[run]] and
-    * [[runCompact]] (spec-proven). */
+    * [[runCompact]] (spec-proven). The triple table is built by
+    * [[triplesFromSets]] (same rows as `triples(ns, es)`, shared-scan
+    * plan); `ns`/`es` stay lazy, so a triples-only consumer never pays the
+    * entity-row builds. */
   def runFused(docs: Dataset[Doc],
       cacheLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -367,7 +459,7 @@ final class KgPipeline(
     val ms = mentionSets(docs).persist(cacheLevel)
     val ns = nodesFromSets(ms)
     val es = mentionEdgesFromSets(ms).union(cooccurrenceEdgesFromSets(ms))
-    (ns, es, triples(ns, es))
+    (ns, es, triplesFromSets(ms))
   }
 }
 

@@ -106,6 +106,69 @@ object CoocCombine {
     }
   }
 
+  /** Shared-scan combiner for the fused triples path: ONE pass over the
+    * packed mention sets emits BOTH key families the triple table needs,
+    * disambiguated by packing — rank PRESENCE as self-pairs `(r, r)` (a
+    * real co-occurrence pair is strictly `a < b` by [[cappedSortedRanks]]'
+    * ascending emission, so `hi == lo` is unambiguous), and the capped
+    * co-occurrence pairs as `(a, b)`. Counts are not tracked: a triple is
+    * presence, not frequency, so the downstream aggregate is a plain
+    * `distinct` over the packed key. The point of the fusion is plan
+    * sharing: both consumers sit above ONE distinct exchange (behind a
+    * Generate pushdown barrier, see [[graft.KgPipeline.triplesFromSets]]),
+    * so the corpus-sized cache scan and this combiner run once per action
+    * (ReusedExchange), not once per consumer.
+    *
+    * Self keys cover ALL ranks of every doc (including singleton docs and
+    * ranks dropped by the per-doc cap — node presence is uncapped, matching
+    * [[partialRankSets]]); pair keys replicate [[partialPairCounts]]'
+    * emission exactly minus the counts. */
+  def partialPairAndRankKeys(pmRows: Dataset[Array[Long]],
+      bcDict: Broadcast[MentionDict], maxEntities: Int,
+      flushAt: Int = 1 << 22): Dataset[Long] = {
+    val spark = pmRows.sparkSession
+    import spark.implicits._
+    pmRows.mapPartitions { it =>
+      val su = bcDict.value.scoreUnitByRank
+      var agg = new LongLongMap(1 << 16)
+      new Iterator[Long] {
+        private var drained: Iterator[(Long, Long)] = Iterator.empty
+        private def pump(): Unit = {
+          while (!drained.hasNext && it.hasNext) {
+            val pm = it.next()
+            var i = 0
+            while (i < pm.length) {
+              val r = pm(i) >>> 32
+              agg.inc(r << 32 | r)
+              i += 1
+            }
+            if (pm.length >= 2) {
+              val arr = cappedSortedRanks(pm, su, maxEntities)
+              val m = arr.length
+              var a = 0
+              while (a < m) {
+                val hi = arr(a).toLong << 32
+                var b = a + 1
+                while (b < m) { agg.inc(hi | arr(b).toLong); b += 1 }
+                a += 1
+              }
+            }
+            if (agg.size >= flushAt) {
+              drained = agg.iterator
+              agg = new LongLongMap(1 << 16)
+            }
+          }
+          if (!drained.hasNext && !it.hasNext && agg.size > 0) {
+            drained = agg.iterator
+            agg = new LongLongMap(4)
+          }
+        }
+        def hasNext: Boolean = { if (!drained.hasNext) pump(); drained.hasNext }
+        def next(): Long = { if (!drained.hasNext) pump(); drained.next()._1 }
+      }
+    }
+  }
+
   /** Per-partition DISTINCT-RANK collector over packed mention sets: the
     * rank domain is dictionary-bounded, so a boolean array + touched list
     * replaces explode(all mentions) + partial HashAggregate (~110 ns/probe

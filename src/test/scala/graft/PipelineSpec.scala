@@ -89,6 +89,23 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("triplesFromSets == triples(nodes, edges) under a tight per-doc entity cap") {
+    // the shared-scan combiner must replicate BOTH families exactly: rank
+    // presence UNCAPPED (node/type parity) while pair emission honors the
+    // per-doc cap (edge parity) — a cap of 3 forces the capped branch on
+    // most docs, which the default-cap end-to-end tests never exercise
+    val docs = Corpus.synthesize(spark, 300, AnalyticsDomain.vocab).persist()
+    val pipe = graft.KgPipeline.analytics(spark)
+    val ms = pipe.mentionSets(docs).persist()
+    val ns = pipe.nodesFromSets(ms)
+    val es = pipe.mentionEdgesFromSets(ms)
+      .union(pipe.cooccurrenceEdgesFromSets(ms, maxEntitiesPerDoc = 3))
+    val want = pipe.triples(ns, es).collect().toSet
+    val got = pipe.triplesFromSets(ms, maxEntitiesPerDoc = 3).collect().toSet
+    assert(got == want)
+    ms.unpersist(); docs.unpersist()
+  }
+
   test("hub-entity skewed corpus: fused == string pipeline, head term in ~half of docs (VERDICT r5 #3)") {
     // geometric hub skew: dictionary term k prepended with P = 2^-(k+1), so
     // the head entity lands in ~50% of ALL documents — the worst-case

@@ -55,7 +55,8 @@ object ScratchStages {
     timed("cooc_edges") { ce.count() }
     val es = me.union(ce)
     val n = timed("triples_total") { pipe.triples(ns, es).count() }
-    println(f"STAGE all_inclusive  ${(System.nanoTime() - t0) / 1e9}%7.2f s  triples=$n")
+    val nF = timed("triples_fused") { pipe.triplesFromSets(ms).count() }
+    println(f"STAGE all_inclusive  ${(System.nanoTime() - t0) / 1e9}%7.2f s  triples=$n fused=$nF")
     Runtime.getRuntime.halt(0)
   }
 }
