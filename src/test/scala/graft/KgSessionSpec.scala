@@ -273,7 +273,15 @@ class KgSessionSpec extends AnyFunSuite {
     assert(rep.contains("Duplicate node ids: 1"))
     assert(rep.contains("protein p1 x2"))
     assert(rep.contains("Duplicate edge keys: 0"))
-    assert(rep.contains("present_in_knowledge_graph: True"))
+    // reference summary() chains ontology + duplicates + MISSING-LABELS
+    // (not schema presence — ADVICE r6); the missing leg renders when the
+    // raw adapter streams are passed
+    assert(!rep.contains("present_in_knowledge_graph"))
+    val withMissing = s.summary(ns, es,
+      rawNodes = Some(spark.createDataset(Seq(
+        RawNode("m1", "mystery_kind", Props.empty)))))
+    assert(withMissing.contains("Missing input labels: 1"))
+    assert(withMissing.contains("mystery_kind x1"))
     // with the driver-side ontology passed, the tree renders first
     // (reference summary() chains show_ontology_structure, _core.py:774-781)
     val onto = graft.ontology.Ontology.fromTtl(
@@ -306,6 +314,23 @@ class KgSessionSpec extends AnyFunSuite {
     val content = schemaParts.filter(_.getName.endsWith(".csv"))
       .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
     assert(content.contains("schema_info"))
+    // the NODE carries the schema as JSON (reference json.dumps,
+    // _core.py:747); the YAML stays in the sidecar only (ADVICE r6)
+    assert(content.contains("\"\"represented_as\"\": \"\"node\"\"") ||
+      content.contains("\"represented_as\": \"node\""),
+      s"schema_info node property must be JSON, got: ${content.take(300)}")
+    assert(!content.contains("represented_as: node"))
+    // repeated calls go through the session Deduplicator (reference
+    // force=True skips translation, NOT node_seen, _batch_writer.py:423):
+    // no duplicate part files on a second call
+    s.writeSchemaInfo(ns, es, asNode = true)
+    val partsAfter = allFiles(out).filter(_.getName.startsWith("Schema_info-part"))
+      .filter(_.getName.endsWith(".csv"))
+    val rowsAfter = partsAfter
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .mkString.linesIterator.count(_.nonEmpty)
+    assert(rowsAfter == 1,
+      s"second writeSchemaInfo(asNode) must dedup against node_seen, got $rowsAfter rows")
   }
 
   test("seen-set TTL + compaction: within-horizon keys dedup, expired keys re-emit, one snapshot") {
