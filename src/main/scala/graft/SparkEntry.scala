@@ -76,6 +76,22 @@ object SparkEntry {
     dedupClusterCache.computeIfAbsent(dir, _ =>
       DedupOps.dedupClusters(lshCandArtifact(s, dir)).localCheckpoint())
 
+  /** Staged multi-file stream-source input per corpus dir: the sf test
+    * table is a single parquet FILE, and the file stream source wants a
+    * DIRECTORY of files to trigger through — 8 staged files, 4 per trigger
+    * = a real 2-micro-batch run. Staged ONCE per dir and shared by the
+    * node and edge streaming rows (and their repeat runs): the staging
+    * write is harness setup, not operator cost, so Bench times it as its
+    * own artifact line (the VERDICT r4 #8 discipline). */
+  private val streamInCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamInputArtifact(s: SparkSession, dir: String): String =
+    streamInCache.computeIfAbsent(dir, { _ =>
+      val streamIn = workDir(s, "stream-in")
+      s.read.parquet(s"$dir/documents.parquet").repartition(8)
+        .write.mode("overwrite").parquet(streamIn)
+      streamIn
+    })
+
   /** Learned BPE merge table per corpus dir (tokenizer-training artifact:
     * one word-frequency aggregate + driver-side greedy merging over the
     * capped dict). */
@@ -94,6 +110,7 @@ object SparkEntry {
     "lsh_candidates" -> ((s, dir) => { lshCandArtifact(s, dir); () }),
     "dedup_clusters" -> ((s, dir) => { dedupClustersArtifact(s, dir); () }),
     "bpe_merges" -> ((s, dir) => { bpeMerges(s, dir); () }),
+    "stream_input" -> ((s, dir) => { streamInputArtifact(s, dir); () }),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -149,6 +166,31 @@ object SparkEntry {
       pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
     }),
+    "kg_nodes_salted" -> ((s, dir) => {
+      // the advertised hub-skew scale path (Dedup.nodesSalted) under the
+      // SAME oracle as kg_nodes — salted == plain is the claim (VERDICT r6
+      // #3). Input is the PRE-dedup translated node stream: one entity
+      // node per (doc, entity) plus one doc node per (doc, entity) row —
+      // duplicate-heavy on purpose, so both salt phases do real work.
+      // The projected columns are all functions of the node id (the dict
+      // maps each curie to one (cls, preferred_id)), so the arbitrary
+      // dropDuplicates winner is invisible to the hash compare.
+      val pipe = KgPipeline.analytics(s)
+      import s.implicits._
+      val dm = pipe.docMentions(kgDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val entityRaw = dm.select(col("curie"), col("cls"), col("surface"))
+        .as[(String, String, String)]
+        .map { case (c, cls, sf) =>
+          graft.model.RawNode(c, cls, graft.model.Props.of(
+            "name" -> graft.model.PV.str(sf)))
+        }
+      val entityNodes = graft.translate.Translate.nodes(entityRaw, pipe.bcCtx)
+      val docNodes = graft.translate.Translate.constNodes(
+        dm.toDF().select(col("doc_id")), "doc_id", "document", pipe.bcCtx)
+      graft.dedup.Dedup.nodesSalted(entityNodes.union(docNodes))
+        .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
+    }),
     "kg_stream_nodes" -> ((s, dir) => {
       // streaming slice, batch-twin oracled (VERDICT r4 #6): the SAME docs
       // corpus ingested as a Structured Streaming file source (one file per
@@ -169,11 +211,10 @@ object SparkEntry {
       // processAllAvailable's polling settle.
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val streamIn = workDir(s, "stream-in")
-      val batchDocs = ss.read.parquet(s"$dir/documents.parquet")
-      batchDocs.repartition(8).write.mode("overwrite").parquet(streamIn)
+      val streamIn = streamInputArtifact(s, dir)
+      val schema = ss.read.parquet(streamIn).schema
       val docsStream = Corpus.fromDocumentsTable(
-        ss.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 4)
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 4)
           .parquet(streamIn))
       // ttl = null: processing-time TTL timers schedule no-data micro-
       // batches forever (and AvailableNow would drop unexpired timers at
@@ -191,6 +232,34 @@ object SparkEntry {
       try q.awaitTermination() finally q.stop()
       ss.table(sinkName)
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
+    }),
+    "kg_stream_edges" -> ((s, dir) => {
+      // edge half of the streaming KG slice, batch-twin oracled (VERDICT
+      // r6 #2): same staging as kg_stream_nodes (8 staged files, 4 per
+      // trigger -> 2 micro-batches, child session with 8 state partitions,
+      // AvailableNow drain), run through ingestEdgesStream — mention
+      // detection -> RawEdge -> translation -> TTL-bounded cross-batch
+      // edge dedup on (label, src_tgt). Must equal the batch mention-edge
+      // set exactly; (src, tgt, label) are all functions of the dedup key,
+      // so the first-seen winner is deterministic under the hash compare.
+      val pipe = KgPipeline.analytics(s)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val streamIn = streamInputArtifact(s, dir)
+      val schema = ss.read.parquet(streamIn).schema
+      val docsStream = Corpus.fromDocumentsTable(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+          .parquet(streamIn))
+      val edges = graft.streaming.Streaming.ingestEdgesStream(
+        docsStream, pipe.bcDict, pipe.bcCtx, ttl = null)
+      val sinkName = "kg_stream_edges_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = edges.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", workDir(s, "stream-edges-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      ss.table(sinkName).select(col("src"), col("tgt"), col("label"))
     }),
     "kg_triples" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
@@ -425,6 +494,29 @@ object SparkEntry {
           sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
         .select(col("n_truth"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+    }),
+    "dedup_recall_sweep" -> ((s, dir) => {
+      // LSH recall as a CURVE over the band width r ∈ {2,4,8} at fixed
+      // k=16 (VERDICT r6 #6), mirroring ann_ivf_recall_sweep: one shared
+      // exact-Jaccard truth (df-capped, as dedup_recall), one row per
+      // operating point. Narrower bands (smaller r) hash more, coarser
+      // buckets -> more candidates -> recall non-increasing in r.
+      val docs = tbl(s, dir, "documents")
+      val truth = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(2, 4, 8).map { r =>
+        // r=8 is the shared artifact's own operating point — reuse it
+        val cand = if (r == 8) lshCandArtifact(s, dir)
+          else DedupOps.lshCandidates(docs, n = 2, k = 16, r = r)
+        val got = DedupOps.verifyCandidates(docs, cand, n = 2, minJ = 0.3)
+          .select(col("doc_a"), col("doc_b")).withColumn("_hit", lit(1L))
+        truth.join(got, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+          .select(lit(r).as("r"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      }.reduce(_.union(_))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -684,9 +776,9 @@ object SparkEntry {
        |FROM ww JOIN eid ON ww.w = eid.w GROUP BY doc_id""".stripMargin
   }
 
-  /** Shared CTE chain producing the capped LSH candidate pairs `cand`
-    * (used by both the candidate oracle and the cluster oracle). */
-  private val lshCandCtes: String =
+  /** r-independent head of the LSH oracle chain: shingles, hashes, the
+    * k=16 minhash signatures. */
+  private val lshBaseCtes: String =
     """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         CASE WHEN len(t) >= 2 THEN array_to_string(list_slice(t, i, i+1), ' ')
@@ -695,16 +787,27 @@ object SparkEntry {
       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,14))::BIGINT % 1000000007 AS hv FROM sh),
       |sig AS (SELECT doc_id, j, MIN(((2*j+1)*hv + 12345*j + 7) % 1000000007) AS sg
       |        FROM h, (SELECT unnest(generate_series(0,15)) AS j) js
-      |        GROUP BY doc_id, j),
-      |bk AS (SELECT doc_id, j // 8 AS band,
-      |         array_to_string(list(sg ORDER BY j), '_') AS bucket
-      |       FROM sig GROUP BY doc_id, j // 8),
-      |ok AS (SELECT band, bucket FROM bk GROUP BY band, bucket
-      |       HAVING count(*) BETWEEN 2 AND 64),
-      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bk x JOIN bk y
-      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-      |  JOIN ok ON x.band = ok.band AND x.bucket = ok.bucket)""".stripMargin
+      |        GROUP BY doc_id, j)""".stripMargin
+
+  /** Band/bucket/candidate CTEs for one band width `r`, with suffixed names
+    * so several operating points can coexist in one statement (the sweep
+    * oracle). */
+  private def lshCandCtesFor(r: Int, sfx: String): String =
+    s"""bk$sfx AS (SELECT doc_id, j // $r AS band,
+       |         array_to_string(list(sg ORDER BY j), '_') AS bucket
+       |       FROM sig GROUP BY doc_id, j // $r),
+       |ok$sfx AS (SELECT band, bucket FROM bk$sfx GROUP BY band, bucket
+       |       HAVING count(*) BETWEEN 2 AND 64),
+       |cand$sfx AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk$sfx x JOIN bk$sfx y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  JOIN ok$sfx ON x.band = ok$sfx.band AND x.bucket = ok$sfx.bucket)""".stripMargin
+
+  /** Shared CTE chain producing the capped LSH candidate pairs `cand` at
+    * the artifact operating point (k=16, r=8 — used by the candidate,
+    * cluster, verify, apply and recall oracles). */
+  private val lshCandCtes: String =
+    lshBaseCtes + ",\n" + lshCandCtesFor(8, "")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -745,6 +848,15 @@ object SparkEntry {
          |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
          |FROM documents d WHERE EXISTS (
          |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
+    // the salted scale path must land on EXACTLY the kg_nodes set
+    "kg_nodes_salted" ->
+      s"""$dictCte
+         |SELECT DISTINCT t.curie AS id, t.cls AS label, t.pfx AS preferred_id
+         |FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |UNION ALL
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
+         |FROM documents d WHERE EXISTS (
+         |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
     // the streaming slice must land on EXACTLY the batch node set
     "kg_stream_nodes" ->
       s"""$dictCte
@@ -754,6 +866,13 @@ object SparkEntry {
          |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
          |FROM documents d WHERE EXISTS (
          |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
+    // the streaming edge slice must land on EXACTLY the batch mention edges
+    "kg_stream_edges" ->
+      s"""$dictCte
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS src, t.curie AS tgt,
+         |  'MENTIONS' AS label
+         |FROM documents d JOIN dict t
+         |  ON (' '||d.text||' ') LIKE ('% '||t.term||' %')""".stripMargin,
     "kg_triples" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
@@ -1081,6 +1200,53 @@ object SparkEntry {
          |  round(CAST(SUM(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS recall
          |FROM truth t LEFT JOIN got g ON t.doc_a = g.doc_a AND t.doc_b = g.doc_b""".stripMargin,
+    "dedup_recall_sweep" -> {
+      // one shared signature head + truth, three band widths side by side
+      def gotFor(sfx: String) =
+        s"""common$sfx AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           |  FROM cand$sfx c
+           |  JOIN hs x ON x.doc_id = c.doc_a
+           |  JOIN hs y ON y.doc_id = c.doc_b AND x.hv = y.hv
+           |  GROUP BY c.doc_a, c.doc_b),
+           |got$sfx AS (SELECT m.doc_a, m.doc_b FROM common$sfx m
+           |  JOIN cnt ca ON ca.doc_id = m.doc_a
+           |  JOIN cnt cb ON cb.doc_id = m.doc_b
+           |  WHERE CAST(m.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.n_common) >= 0.3)""".stripMargin
+      def rowFor(r: Int) =
+        s"""SELECT $r AS r, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(SUM(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(CAST(SUM(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS recall
+           |FROM truth t LEFT JOIN got$r g ON t.doc_a = g.doc_a AND t.doc_b = g.doc_b""".stripMargin
+      s"""WITH $lshBaseCtes,
+         |${lshCandCtesFor(2, "2")},
+         |${lshCandCtesFor(4, "4")},
+         |${lshCandCtesFor(8, "8")},
+         |hs AS (SELECT DISTINCT doc_id, hv FROM h),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id),
+         |${gotFor("2")},
+         |${gotFor("4")},
+         |${gotFor("8")},
+         |tsh0 AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS shingle
+         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+         |       WHERE len(t) >= 2),
+         |tsh1 AS (SELECT doc_id, shingle FROM tsh0
+         |       QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+         |tsh AS (SELECT doc_id,
+         |         ('0x'||substr(md5(shingle),1,14))::BIGINT AS shv FROM tsh1),
+         |tcnt AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+         |tp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+         |       FROM tsh x JOIN tsh y ON x.shv = y.shv AND x.doc_id < y.doc_id
+         |       GROUP BY x.doc_id, y.doc_id),
+         |truth AS (SELECT doc_a, doc_b FROM tp
+         |  JOIN tcnt ca ON doc_a = ca.doc_id JOIN tcnt cb ON doc_b = cb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE)/(ca.n_sh + cb.n_sh - n_common) >= 0.3)
+         |${rowFor(2)}
+         |UNION ALL
+         |${rowFor(4)}
+         |UNION ALL
+         |${rowFor(8)}""".stripMargin
+    },
     "dedup_verified" ->
       s"""WITH $lshCandCtes,
          |hs AS (SELECT DISTINCT doc_id, hv FROM h),
