@@ -203,14 +203,17 @@ object SparkEntry {
       // 4 at a time — a real multi-micro-batch run (2 batches: cross-batch
       // dedup state genuinely exercised) without paying 8x the per-batch
       // state-commit overhead. The query runs on a CHILD session (shared
-      // SparkContext, own SQL conf) with 8 shuffle partitions: stateful-op
-      // parallelism == state-store count, and committing 32 near-empty
-      // HDFSBackedStateStore deltas per batch was most of the row's cost
-      // (VERDICT r5 #2). Drained under Trigger.AvailableNow — terminates
-      // deterministically when the staged files are consumed, instead of
-      // processAllAvailable's polling settle.
+      // SparkContext, own SQL conf) with 2 shuffle partitions: stateful-op
+      // parallelism == state-store count, and the per-store delta-commit
+      // fs traffic dominates the drain at this data size — ScratchStream
+      // r7 warm drains: p8 1.92s, p4 1.74s, p2 1.67s, p1 2.31s (p1 loses
+      // task parallelism), RocksDB no better than HDFS at p8 (VERDICT r5
+      // #2 cut 32 -> 8; r6 #4 cut 8 -> 2). Drained under
+      // Trigger.AvailableNow — terminates deterministically when the
+      // staged files are consumed, instead of processAllAvailable's
+      // polling settle.
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
       val streamIn = streamInputArtifact(s, dir)
       val schema = ss.read.parquet(streamIn).schema
       val docsStream = Corpus.fromDocumentsTable(
@@ -244,7 +247,7 @@ object SparkEntry {
       // so the first-seen winner is deterministic under the hash compare.
       val pipe = KgPipeline.analytics(s)
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
       val streamIn = streamInputArtifact(s, dir)
       val schema = ss.read.parquet(streamIn).schema
       val docsStream = Corpus.fromDocumentsTable(

@@ -23,8 +23,33 @@ object ScratchStream {
       r
     }
 
+    // stateless baseline: translate-only stream (no dedup state) — the
+    // floor the stateful drain should be compared against
+    locally {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      val streamIn = "/tmp/graft-stream-probe/stateless/in"
+      val batchDocs = ss.read.parquet(s"$dir/documents.parquet")
+      batchDocs.repartition(8).write.mode("overwrite").parquet(streamIn)
+      for (tag <- Seq("cold", "warm")) timed(s"stateless $tag") {
+        val docsStream = graft.corpus.Corpus.fromDocumentsTable(
+          ss.readStream.schema(batchDocs.schema).option("maxFilesPerTrigger", 4)
+            .parquet(streamIn))
+        val nodes = graft.translate.Translate.nodes(
+          graft.extract.Mentions.toRawNodesWithDocs(
+            graft.extract.Mentions.detect(docsStream, pipe.bcDict)), pipe.bcCtx)
+        val q = nodes.toDF().writeStream.format("memory")
+          .queryName(s"probe_stateless_$tag").outputMode("append")
+          .option("checkpointLocation", s"/tmp/graft-stream-probe/stateless/ckpt_$tag")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+    }
+
     for (variant <- Seq(("p8hdfs", "8", false), ("p4hdfs", "4", false),
-                        ("p8rocks", "8", true), ("p2hdfs", "2", false))) {
+                        ("p8rocks", "8", true), ("p2hdfs", "2", false),
+                        ("p1hdfs", "1", false))) {
       val (vn, parts, rocks) = variant
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", parts)
