@@ -123,49 +123,112 @@ object CoocCombine {
     * ranks dropped by the per-doc cap — node presence is uncapped, matching
     * [[partialRankSets]]); pair keys replicate [[partialPairCounts]]'
     * emission exactly minus the counts. */
+  /** Dense fast-path gate: at `|dict| <= DenseMaxDict` the (a, b) pair
+    * domain is dict² bits — ≤ 512 KB of bitset at 2048 — and one
+    * shift-or per pair replaces the ~6 ns open-addressing probe (the
+    * AhoCorasick dense-trie precedent; at 16M docs the pair stream is
+    * ~1.4G increments, so the probe cost is the combiner). Above the gate
+    * the hash map keeps memory O(flushAt) for open dictionaries. */
+  val DenseMaxDict = 2048
+
   def partialPairAndRankKeys(pmRows: Dataset[Array[Long]],
       bcDict: Broadcast[MentionDict], maxEntities: Int,
-      flushAt: Int = 1 << 22): Dataset[Long] = {
+      flushAt: Int = 1 << 22, denseMax: Int = DenseMaxDict): Dataset[Long] = {
     val spark = pmRows.sparkSession
     import spark.implicits._
     pmRows.mapPartitions { it =>
-      val su = bcDict.value.scoreUnitByRank
-      var agg = new LongLongMap(1 << 16)
-      new Iterator[Long] {
-        private var drained: Iterator[(Long, Long)] = Iterator.empty
-        private def pump(): Unit = {
-          while (!drained.hasNext && it.hasNext) {
-            val pm = it.next()
-            var i = 0
-            while (i < pm.length) {
-              val r = pm(i) >>> 32
-              agg.inc(r << 32 | r)
-              i += 1
-            }
-            if (pm.length >= 2) {
-              val arr = cappedSortedRanks(pm, su, maxEntities)
-              val m = arr.length
-              var a = 0
-              while (a < m) {
-                val hi = arr(a).toLong << 32
-                var b = a + 1
-                while (b < m) { agg.inc(hi | arr(b).toLong); b += 1 }
-                a += 1
-              }
-            }
-            if (agg.size >= flushAt) {
-              drained = agg.iterator
-              agg = new LongLongMap(1 << 16)
+      val nDict = bcDict.value.linkFor.length
+      if (nDict <= denseMax) densePairAndRankKeys(it, bcDict.value, maxEntities, nDict)
+      else hashPairAndRankKeys(it, bcDict.value, maxEntities, flushAt)
+    }
+  }
+
+  /** Bitset variant: set bit `a*n + b` per pair (self-bit per rank), emit
+    * the set bits as packed keys at partition end. */
+  private def densePairAndRankKeys(it: Iterator[Array[Long]], dict: MentionDict,
+      maxEntities: Int, n: Int): Iterator[Long] = {
+    val su = dict.scoreUnitByRank
+    val bits = new Array[Long]((n * n + 63) >>> 6)
+    while (it.hasNext) {
+      val pm = it.next()
+      var i = 0
+      while (i < pm.length) {
+        val r = (pm(i) >>> 32).toInt
+        val idx = r * n + r
+        bits(idx >>> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+      if (pm.length >= 2) {
+        val arr = cappedSortedRanks(pm, su, maxEntities)
+        val m = arr.length
+        var a = 0
+        while (a < m) {
+          val base = arr(a) * n
+          var b = a + 1
+          while (b < m) {
+            val idx = base + arr(b)
+            bits(idx >>> 6) |= 1L << (idx & 63)
+            b += 1
+          }
+          a += 1
+        }
+      }
+    }
+    new Iterator[Long] {
+      private val end = n * n
+      private def seekFrom(j0: Int): Int = {
+        var j = j0
+        while (j < end && (bits(j >>> 6) & (1L << (j & 63))) == 0L) j += 1
+        j
+      }
+      private var nextIdx = seekFrom(0)
+      def hasNext: Boolean = nextIdx < end
+      def next(): Long = {
+        val cur = nextIdx
+        nextIdx = seekFrom(cur + 1)
+        ((cur / n).toLong << 32) | (cur % n).toLong
+      }
+    }
+  }
+
+  private def hashPairAndRankKeys(it: Iterator[Array[Long]], dict: MentionDict,
+      maxEntities: Int, flushAt: Int): Iterator[Long] = {
+    val su = dict.scoreUnitByRank
+    var agg = new LongLongMap(1 << 16)
+    new Iterator[Long] {
+      private var drained: Iterator[(Long, Long)] = Iterator.empty
+      private def pump(): Unit = {
+        while (!drained.hasNext && it.hasNext) {
+          val pm = it.next()
+          var i = 0
+          while (i < pm.length) {
+            val r = pm(i) >>> 32
+            agg.inc(r << 32 | r)
+            i += 1
+          }
+          if (pm.length >= 2) {
+            val arr = cappedSortedRanks(pm, su, maxEntities)
+            val m = arr.length
+            var a = 0
+            while (a < m) {
+              val hi = arr(a).toLong << 32
+              var b = a + 1
+              while (b < m) { agg.inc(hi | arr(b).toLong); b += 1 }
+              a += 1
             }
           }
-          if (!drained.hasNext && !it.hasNext && agg.size > 0) {
+          if (agg.size >= flushAt) {
             drained = agg.iterator
-            agg = new LongLongMap(4)
+            agg = new LongLongMap(1 << 16)
           }
         }
-        def hasNext: Boolean = { if (!drained.hasNext) pump(); drained.hasNext }
-        def next(): Long = { if (!drained.hasNext) pump(); drained.next()._1 }
+        if (!drained.hasNext && !it.hasNext && agg.size > 0) {
+          drained = agg.iterator
+          agg = new LongLongMap(4)
+        }
       }
+      def hasNext: Boolean = { if (!drained.hasNext) pump(); drained.hasNext }
+      def next(): Long = { if (!drained.hasNext) pump(); drained.next()._1 }
     }
   }
 

@@ -89,6 +89,26 @@ class PipelineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("pair+rank key combiner: dense bitset path == hash-map path") {
+    // the analytics dict (22 terms) takes the dense path; denseMax = 0
+    // forces the open-dictionary hash fallback on the same input — the
+    // distinct key sets must agree exactly (self keys AND capped pairs)
+    val docs = Corpus.synthesize(spark, 300, AnalyticsDomain.vocab).persist()
+    val pipe = graft.KgPipeline.analytics(spark)
+    val ms = pipe.mentionSets(docs).persist()
+    val pm = ms.select(org.apache.spark.sql.functions.col("pm")).as[Array[Long]]
+    for (cap <- Seq(3, graft.extract.Mentions.DefaultMaxEntitiesPerDoc)) {
+      val dense = graft.extract.CoocCombine
+        .partialPairAndRankKeys(pm, pipe.bcDict, cap).collect().toSet
+      val hash = graft.extract.CoocCombine
+        .partialPairAndRankKeys(pm, pipe.bcDict, cap, denseMax = 0).collect().toSet
+      assert(dense == hash, s"cap=$cap dense=${dense.size} hash=${hash.size}")
+      assert(dense.exists(k => (k >>> 32) == (k & 0xffffffffL)), "self keys present")
+      assert(dense.exists(k => (k >>> 32) != (k & 0xffffffffL)), "pair keys present")
+    }
+    ms.unpersist(); docs.unpersist()
+  }
+
   test("triplesFromSets == triples(nodes, edges) under a tight per-doc entity cap") {
     // the shared-scan combiner must replicate BOTH families exactly: rank
     // presence UNCAPPED (node/type parity) while pair emission honors the

@@ -31,6 +31,17 @@ object Explain {
         val dir = BenchPipeline.ensureInput(spark, 2000)
         val docs = spark.read.parquet(dir).as[graft.model.Doc]
         KgPipeline.analytics(spark).mentionSets(docs).explain("formatted")
+      } else if (name == "fused_triples") {
+        // the fused triple table over the mention-set cache: the rank+pair
+        // combiner must appear ONCE (checkpointed distinct); mention/doc
+        // branches are thin cache selects + broadcast joins
+        import spark.implicits._
+        val dir = BenchPipeline.ensureInput(spark, 2000)
+        val docs = spark.read.parquet(dir).as[graft.model.Doc]
+        val pipe = KgPipeline.analytics(spark)
+        val ms = pipe.mentionSets(docs).persist()
+        ms.count()
+        pipe.triplesFromSets(ms).explain("formatted")
       } else SparkEntry.queries.get(name) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None     => println(s"unknown query $name")
