@@ -527,6 +527,10 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       AnnOps.lshTopK(emb, q, excludeId = 0L, k = 5, nBits = 8)
     }),
+    "sample_pack" -> ((s, dir) =>
+      // concat-then-chunk sequence packing (LLM pretraining loader shape):
+      // distributed prefix sum, never a global single-partition window
+      graft.ops.SampleOps.packSequences(tbl(s, dir, "documents"), capacity = 512)),
     "mm_features" -> ((s, dir) => {
       // scalar f0..f3 (not an array column): the driver's pandas comparator
       // cannot sort list columns, so the gate needs flat columns
@@ -536,6 +540,10 @@ object SparkEntry {
     }),
 
     // -- training-data ops: text analysis --
+    "text_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram LM likelihood (the CCNet-style perplexity
+      // quality filter shape); model capped + broadcast, one thin shuffle
+      TextOps.lmScore(tbl(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
     "text_tokens_bpe" -> ((s, dir) => TextOps.bpeTokenCounts(tbl(s, dir, "documents"))),
     "text_bpe_encode" -> ((s, dir) => {
@@ -1314,6 +1322,28 @@ object SparkEntry {
         | ('0x'||substr(md5('media://img/'||doc_id),13,4))::BIGINT AS f3
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+        |       WHERE len(t) >= 2),
+        |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM toks)
+        |        GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT 65536),
+        |model AS (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg
+        |          GROUP BY b ORDER BY c12 DESC, b LIMIT 65536),
+        |vc AS (SELECT count(*) AS v FROM uni),
+        |sc AS (SELECT g.doc_id,
+        |        ln(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE)
+        |           / (COALESCE(u.c1, 0) + vc.v)) AS lp
+        |       FROM bg g LEFT JOIN model m ON g.b = m.b
+        |       LEFT JOIN uni u ON string_split(g.b, ' ')[1] = u.w1
+        |       CROSS JOIN vc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(SUM(lp), 6) AS log_prob,
+        |  round(SUM(lp) / count(*), 6) AS avg_log_prob
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
@@ -1413,6 +1443,18 @@ object SparkEntry {
         |      WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 9000 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // the oracle IS the naive global running total the scale path avoids
+    "sample_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, s AS start_offset,
+        |  s // 512 AS seq_id,
+        |  (s + n - 1) // 512 - s // 512 + 1 AS n_seqs
+        |FROM c""".stripMargin,
     "text_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -60,6 +60,57 @@ object SampleOps {
       coalesce(element_at(bounds, col(strataCol)), lit(0L)))
   }
 
+  /** Concat-then-chunk sequence packing for LLM pretraining: documents in
+    * deterministic `idCol` order form one global token stream, and each
+    * document's START OFFSET in that stream assigns it to fixed-capacity
+    * training sequences — `seq_id = start_offset div capacity`, with
+    * `n_seqs` (sequences the doc spans) exposing the boundary-crossing
+    * documents a loader will split. Output:
+    * (doc_id, n_tokens, start_offset, seq_id, n_seqs); token counts are
+    * the whitespace tokens of [[TextOps.tokenCounts]].
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a bare
+    * `sum(n) over (order by doc_id)` clusters the whole corpus into ONE
+    * partition (the classic running-total scalability cliff). Instead:
+    * range-repartition by id (the layout a sorted 100-TB table already
+    * has), per-partition partial sums (one row per partition), a window
+    * over that PARTITION-COUNT-sized frame for the base offsets,
+    * broadcast-join the bases back, and finish with a per-partition
+    * window — parallelism stays = partitions end to end, every exchange
+    * carries thin (id, long) rows, and nothing is collected to the
+    * driver. Deterministic: the offsets depend only on the global id
+    * order, not on the partition boundaries (spec-proven identical at 1
+    * and 7 partitions). */
+  def packSequences(documents: DataFrame, capacity: Long,
+      numPartitions: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = documents
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    // base offset per partition: partials are numPartitions rows, so the
+    // single-partition window over them is driver-free AND trivially small
+    val bases = parted.groupBy("_pid").agg(sum("n_tokens").as("_psum"))
+      .withColumn("_base", coalesce(
+        sum(col("_psum")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    parted.join(broadcast(bases), Seq("_pid"))
+      .withColumn("start_offset", col("_base") + coalesce(
+        sum(col("n_tokens")).over(Window.partitionBy("_pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset DIV ${capacity}L").as("seq_id"),
+        (expr(s"(start_offset + n_tokens - 1) DIV ${capacity}L") -
+          expr(s"start_offset DIV ${capacity}L") + lit(1L)).as("n_seqs"))
+  }
+
   /** Global token vocabulary: top-`k` whitespace tokens by document-
     * corpus frequency, ties broken lexicographically. One explode + one
     * map-side-combined hash aggregate + a TakeOrdered top-k — the

@@ -282,4 +282,60 @@ object TextOps {
     withCounts.withColumn("predicted_lang", best)
       .withColumn("agrees", col("predicted_lang") === col("actual_lang"))
   }
+
+  /** Non-empty consecutive token pairs of a text column as "w1 w2"
+    * strings — the bigram stream of [[lmScore]]. */
+  private def bigramsOf(text: Column): Column = {
+    val t = filter(tokens(text), x => x =!= "")
+    val len = greatest(size(t) - 1, lit(0))
+    zip_with(
+      slice(t, lit(1), len),
+      slice(t, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Corpus-trained bigram LM document scorer — the CCNet-style
+    * "perplexity filter" shape for training-data quality: train add-one-
+    * smoothed bigram log-probabilities on the corpus itself, score each
+    * document by its summed bigram log-likelihood, flag the low-likelihood
+    * tail for removal. Output: (doc_id, n_bigrams, log_prob, avg_log_prob)
+    * for every document with ≥ 1 bigram; `log_prob = Σ ln((c12 + 1) /
+    * (c1 + V))` over the doc's consecutive token pairs, V = model
+    * unigram-row count. Sums round to 6 dp (the recall-row discipline —
+    * the one double surface; everything upstream is exact counts).
+    *
+    * Scale shape: the model is CAPPED at the top-`maxModel` bigrams and
+    * unigrams by (count desc, token asc) — deterministic under ties — so
+    * both sides of the scoring join BROADCAST regardless of corpus size;
+    * training is two explode + map-side-combined aggregates (the shuffles
+    * carry distinct tokens, not occurrences) + one TakeOrdered each.
+    * Scoring is one explode + two broadcast hash joins + a map-side-
+    * combined per-doc sum: the corpus is shuffled once, on thin
+    * (doc_id, double) partials. Out-of-model tokens smooth to c = 0 —
+    * the cap degrades the tail of the model, never correctness. */
+  def lmScore(documents: DataFrame, maxModel: Int = 1 << 16): DataFrame = {
+    val bg = bigramsOf(col("text"))
+    val uniTop = documents
+      .select(explode(filter(tokens(col("text")), x => x =!= "")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w1")).limit(maxModel)
+    val bigTop = documents
+      .select(explode(bg).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("b")).limit(maxModel)
+    // V as a tiny scalar subquery-free literal branch: count of model
+    // unigram rows (<= maxModel), computed once per returned plan
+    val v = uniTop.select(count(lit(1))).as(org.apache.spark.sql.Encoders.scalaLong).head()
+    documents.select(col("doc_id"), explode(bg).as("b"))
+      .join(broadcast(bigTop), Seq("b"), "left")
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .join(broadcast(uniTop), Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")), 6).as("log_prob"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_log_prob"))
+  }
 }

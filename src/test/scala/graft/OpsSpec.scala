@@ -28,6 +28,47 @@ class OpsSpec extends AnyFunSuite {
     assert(out(8L) == 1L && out(9L) == 1L && out(1L) == 1L)
   }
 
+  test("packSequences: offsets follow id order and are partition-count independent") {
+    import graft.ops.SampleOps
+    // hand-checkable stream: docs 0..4 with 3/1/5/2/4 tokens, capacity 4
+    val docs = Seq(
+      (0L, "a b c"), (1L, "x"), (2L, "a b c d e"), (3L, "a b"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = SampleOps.packSequences(docs, capacity = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "seq_id", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // stream offsets: 0,3,4,9,11 — doc0 fits seq0, doc1 crosses 3..3 (seq0),
+    // doc2 spans 4..8 (seqs 1-2), doc3 9..10 (seq2), doc4 11..14 (seqs 2-3)
+    assert(out == Seq(
+      (0L, 3L, 0L, 0L, 1L), (1L, 1L, 3L, 0L, 1L), (2L, 5L, 4L, 1L, 2L),
+      (3L, 2L, 9L, 2L, 1L), (4L, 4L, 11L, 2L, 2L)))
+    // the distributed prefix sum must not depend on partition boundaries:
+    // 1 partition (the naive global-window answer) == 7 partitions
+    val big = (0L until 500L).map(i => (i, ("w " * (i % 13 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val one = SampleOps.packSequences(big, 32, numPartitions = 1).collect().toSet
+    val seven = SampleOps.packSequences(big, 32, numPartitions = 7).collect().toSet
+    assert(one == seven)
+  }
+
+  test("lmScore: hand-computed add-one bigram log-likelihoods") {
+    import graft.ops.TextOps
+    // uni: a=3 b=2 (V=2); bigrams: "b a"=2, "a b"=1
+    // "a b" -> ln((1+1)/(3+2)) = ln(0.4); "b a" -> ln((2+1)/(2+2)) = ln(0.75)
+    val docs = Seq((0L, "a b a"), (1L, "b a")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lnAB = math.log(2.0 / 5.0); val lnBA = math.log(3.0 / 4.0)
+    assert(out == Seq(
+      (0L, 2L, r6(lnAB + lnBA), r6((lnAB + lnBA) / 2)),
+      (1L, 1L, r6(lnBA), r6(lnBA))))
+    // single-token / empty docs have no bigrams and are not scored
+    val one = TextOps.lmScore(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+  }
+
   test("hashSplit is deterministic, exhaustive and proportional") {
     import graft.ops.SampleOps
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
