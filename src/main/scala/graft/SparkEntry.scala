@@ -269,6 +269,15 @@ object SparkEntry {
       val (_, _, t) = pipe.run(kgDocs(s, dir))
       t.toDF()
     }),
+    "kg_triples_fused" -> ((s, dir) => {
+      // the PRODUCTION fused path (runFused -> triplesFromSets: packed
+      // mention-set cache, shared rank+pair combiner, dense bitset) under
+      // the same oracle as kg_triples — the bench path is now directly
+      // driver-gated, not only spec-parity-proven
+      val pipe = KgPipeline.analytics(s)
+      val (_, _, t) = pipe.runFused(kgDocs(s, dir))
+      t.toDF()
+    }),
     "kg_cooccurrence" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
@@ -885,6 +894,22 @@ object SparkEntry {
          |FROM documents d JOIN dict t
          |  ON (' '||d.text||' ') LIKE ('% '||t.term||' %')""".stripMargin,
     "kg_triples" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
+         |SELECT DISTINCT curie AS subj, 'rdf:type' AS pred, pascal AS obj FROM m
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'rdf:type', 'Document' FROM m
+         |UNION ALL
+         |SELECT DISTINCT doc_id, 'MENTIONS', curie FROM m
+         |UNION ALL
+         |SELECT a.curie, 'COOCCURS_WITH', b.curie FROM
+         | (SELECT DISTINCT doc_id, curie FROM m) a
+         | JOIN (SELECT DISTINCT doc_id, curie FROM m) b
+         |   ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |GROUP BY a.curie, b.curie""".stripMargin,
+    // production fused path, same semantics, same oracle text
+    "kg_triples_fused" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
          |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %'))
