@@ -66,13 +66,61 @@ object CoocCombine {
   /** `pmRows` is the fused working set's `pm` column (one packed array per
     * document). Returns PARTIAL (pair, cnt) counts — one small
     * `groupBy(pair).sum(cnt)` exchange completes the aggregate. */
+  /** Dense-counts gate for [[partialPairCounts]]: a long[] of dict² counts
+    * is 8 MB/task at 1024 — direct-indexed increments, no probing. Kept
+    * tighter than [[DenseMaxDict]] (counts are 64× wider than bits). */
+  val DenseMaxDictCounts = 1024
+
   def partialPairCounts(pmRows: Dataset[Array[Long]],
       bcDict: Broadcast[MentionDict], maxEntities: Int,
-      flushAt: Int = 1 << 22): Dataset[(Long, Long)] = {
+      flushAt: Int = 1 << 22, denseMax: Int = DenseMaxDictCounts): Dataset[(Long, Long)] = {
     val spark = pmRows.sparkSession
     import spark.implicits._
     pmRows.mapPartitions { it =>
-      val su = bcDict.value.scoreUnitByRank
+      val nDict = bcDict.value.linkFor.length
+      if (nDict <= denseMax) densePairCounts(it, bcDict.value, maxEntities, nDict)
+      else hashPairCounts(it, bcDict.value, maxEntities, flushAt)
+    }
+  }
+
+  private def densePairCounts(it: Iterator[Array[Long]], dict: MentionDict,
+      maxEntities: Int, n: Int): Iterator[(Long, Long)] = {
+    val su = dict.scoreUnitByRank
+    val counts = new Array[Long](n * n)
+    while (it.hasNext) {
+      val pm = it.next()
+      if (pm.length >= 2) {
+        val arr = cappedSortedRanks(pm, su, maxEntities)
+        val m = arr.length
+        var a = 0
+        while (a < m) {
+          val base = arr(a) * n
+          var b = a + 1
+          while (b < m) { counts(base + arr(b)) += 1; b += 1 }
+          a += 1
+        }
+      }
+    }
+    new Iterator[(Long, Long)] {
+      private val end = n * n
+      private def seekFrom(j0: Int): Int = {
+        var j = j0
+        while (j < end && counts(j) == 0L) j += 1
+        j
+      }
+      private var nextIdx = seekFrom(0)
+      def hasNext: Boolean = nextIdx < end
+      def next(): (Long, Long) = {
+        val cur = nextIdx
+        nextIdx = seekFrom(cur + 1)
+        (((cur / n).toLong << 32) | (cur % n).toLong, counts(cur))
+      }
+    }
+  }
+
+  private def hashPairCounts(it: Iterator[Array[Long]], dict: MentionDict,
+      maxEntities: Int, flushAt: Int): Iterator[(Long, Long)] = {
+      val su = dict.scoreUnitByRank
       var agg = new LongLongMap(1 << 16)
       new Iterator[(Long, Long)] {
         private var drained: Iterator[(Long, Long)] = Iterator.empty
@@ -103,26 +151,8 @@ object CoocCombine {
         def hasNext: Boolean = { if (!drained.hasNext) pump(); drained.hasNext }
         def next(): (Long, Long) = { if (!drained.hasNext) pump(); drained.next() }
       }
-    }
   }
 
-  /** Shared-scan combiner for the fused triples path: ONE pass over the
-    * packed mention sets emits BOTH key families the triple table needs,
-    * disambiguated by packing — rank PRESENCE as self-pairs `(r, r)` (a
-    * real co-occurrence pair is strictly `a < b` by [[cappedSortedRanks]]'
-    * ascending emission, so `hi == lo` is unambiguous), and the capped
-    * co-occurrence pairs as `(a, b)`. Counts are not tracked: a triple is
-    * presence, not frequency, so the downstream aggregate is a plain
-    * `distinct` over the packed key. The point of the fusion is plan
-    * sharing: both consumers sit above ONE distinct exchange (behind a
-    * Generate pushdown barrier, see [[graft.KgPipeline.triplesFromSets]]),
-    * so the corpus-sized cache scan and this combiner run once per action
-    * (ReusedExchange), not once per consumer.
-    *
-    * Self keys cover ALL ranks of every doc (including singleton docs and
-    * ranks dropped by the per-doc cap — node presence is uncapped, matching
-    * [[partialRankSets]]); pair keys replicate [[partialPairCounts]]'
-    * emission exactly minus the counts. */
   /** Dense fast-path gate: at `|dict| <= DenseMaxDict` the (a, b) pair
     * domain is dict² bits — ≤ 512 KB of bitset at 2048 — and one
     * shift-or per pair replaces the ~6 ns open-addressing probe (the
@@ -131,6 +161,21 @@ object CoocCombine {
     * the hash map keeps memory O(flushAt) for open dictionaries. */
   val DenseMaxDict = 2048
 
+  /** Shared-scan combiner for the fused triples path: ONE pass over the
+    * packed mention sets emits BOTH key families the triple table needs,
+    * disambiguated by packing — rank PRESENCE as self-pairs `(r, r)` (a
+    * real co-occurrence pair is strictly `a < b` by [[cappedSortedRanks]]'
+    * ascending emission, so `hi == lo` is unambiguous), and the capped
+    * co-occurrence pairs as `(a, b)`. Counts are not tracked: a triple is
+    * presence, not frequency, so the downstream aggregate is a plain
+    * `distinct` over the packed key, which
+    * [[graft.KgPipeline.triplesFromSets]] lazily localCheckpoints so this
+    * scan runs once per action no matter how many consumers sit above.
+    *
+    * Self keys cover ALL ranks of every doc (including singleton docs and
+    * ranks dropped by the per-doc cap — node presence is uncapped, matching
+    * [[partialRankSets]]); pair keys replicate [[partialPairCounts]]'
+    * emission exactly minus the counts. */
   def partialPairAndRankKeys(pmRows: Dataset[Array[Long]],
       bcDict: Broadcast[MentionDict], maxEntities: Int,
       flushAt: Int = 1 << 22, denseMax: Int = DenseMaxDict): Dataset[Long] = {

@@ -105,6 +105,14 @@ class PipelineSpec extends AnyFunSuite {
       assert(dense == hash, s"cap=$cap dense=${dense.size} hash=${hash.size}")
       assert(dense.exists(k => (k >>> 32) == (k & 0xffffffffL)), "self keys present")
       assert(dense.exists(k => (k >>> 32) != (k & 0xffffffffL)), "pair keys present")
+      // counts combiner: dense long[] path == hash path after the
+      // downstream partial-sum (partials may differ in grouping, totals
+      // must not)
+      def totals(denseMax: Int) = graft.extract.CoocCombine
+        .partialPairCounts(pm, pipe.bcDict, cap, denseMax = denseMax)
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _).collect().toMap
+      assert(totals(graft.extract.CoocCombine.DenseMaxDictCounts) == totals(0),
+        s"cap=$cap count totals diverge")
     }
     ms.unpersist(); docs.unpersist()
   }
