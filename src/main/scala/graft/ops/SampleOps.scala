@@ -78,9 +78,14 @@ object SampleOps {
     * broadcast-join the bases back, and finish with a per-partition
     * window — parallelism stays = partitions end to end, every exchange
     * carries thin (id, long) rows, and nothing is collected to the
-    * driver. Deterministic: the offsets depend only on the global id
-    * order, not on the partition boundaries (spec-proven identical at 1
-    * and 7 partitions). */
+    * driver. The partials branch and the main branch share the range
+    * exchange: both subtrees are pure Catalyst, so AQE's ReusedExchange
+    * fires and the input is scanned once (verified at runtime,
+    * `tools/ScratchPackPlan` — unlike object-operator subtrees, which
+    * AQE does not unify; see `KgPipeline.triplesFromSets`).
+    * Deterministic: the offsets depend only on the global id order, not
+    * on the partition boundaries (spec-proven identical at 1 and 7
+    * partitions). */
   def packSequences(documents: DataFrame, capacity: Long,
       numPartitions: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
