@@ -43,6 +43,14 @@ object ScratchTriples {
     timed("pm_explode") {
       ms.select(explode(col("pm")).as("p")).count()
     }
+    ms.unpersist(blocking = true)
+    // variant: row-based localCheckpoint instead of the columnar cache —
+    // no columnar encode on build, no pruning on read
+    val ms2 = pipe.mentionSets(docs).localCheckpoint(false)
+    timed("ckpt_build") { ms2.count() }
+    val ts2 = pipe.triplesFromSets(ms2)
+    timed("ckpt_full_union") { ts2.count() }
+    timed("ckpt_full_union2") { ts2.count() }
     Runtime.getRuntime.halt(0)
   }
 }
