@@ -148,3 +148,45 @@ object SpanPipelineProps extends Properties("SpanPipeline") {
       same && viol == nMutable
     }
 }
+
+/** Generator-driven invariants of the distributed prefix-sum packing
+  * ([[graft.ops.SampleOps.packSequences]]): stream conservation and
+  * partition-count independence over arbitrary corpora and capacities. */
+object PackProps extends Properties("PackSequences") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val corpusAndCapacity: Gen[(List[(Long, String)], Long, Int)] =
+    for {
+      n <- Gen.chooseNum(1, 40)
+      lens <- Gen.listOfN(n, Gen.chooseNum(1, 20))
+      capacity <- Gen.chooseNum(1L, 64L)
+      parts <- Gen.chooseNum(2, 9)
+    } yield (lens.zipWithIndex.map { case (l, i) =>
+      (i.toLong, List.fill(l)("w").mkString(" "))
+    }, capacity, parts)
+
+  property("stream conservation + partition independence, arbitrary corpora") =
+    forAll(corpusAndCapacity) { case (docs, capacity, parts) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val rows = graft.ops.SampleOps.packSequences(df, capacity, numPartitions = parts)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      // conservation: offsets are the running total of token counts in id
+      // order, starting at zero
+      val offsetsOk = rows.scanLeft(0L) { case (acc, (_, n, _, _, _)) => acc + n }
+        .zip(rows).forall { case (expStart, (_, _, start, _, _)) => expStart == start }
+      // chunk math: seq_id and spanned-count follow the capacity grid
+      val gridOk = rows.forall { case (_, n, s, seqId, nSeqs) =>
+        seqId == s / capacity && nSeqs == (s + n - 1) / capacity - s / capacity + 1
+      }
+      // partition independence: any partition count == the 1-partition run
+      val one = graft.ops.SampleOps.packSequences(df, capacity, numPartitions = 1)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      offsetsOk && gridOk && rows.toSet == one
+    }
+}
