@@ -169,13 +169,25 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
     layouts
   }
 
-  def writeNodes(ds: Dataset[KgNode]): Unit = {
-    val spark = ds.sparkSession
+  /** Persist `ds` for the duration of `use` unless the caller already
+    * persisted this exact dataset: every write is ≥ 2 passes (layout
+    * probe + render), and an unpersisted upstream (pipeline aggregates)
+    * would recompute per pass. A dataset DERIVED from a cached plan reads
+    * its parent's cache, so the extra persist is bounded by the write's
+    * own (post-dedup) row set either way. */
+  private def withWriteCache[T, A](ds: Dataset[T])(use: Dataset[T] => A): A =
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try use(cached) finally cached.unpersist(blocking = false)
+    } else use(ds)
+
+  def writeNodes(ds: Dataset[KgNode]): Unit = withWriteCache(ds) { input =>
+    val spark = input.sparkSession
     import spark.implicits._
-    val layouts = probeNodeLayouts(ds)
+    val layouts = probeNodeLayouts(input)
     val bc = spark.sparkContext.broadcast(layouts)
     val self = this
-    val rendered = ds.map { n =>
+    val rendered = input.map { n =>
       val lay = bc.value(n.label)
       (lay.fileLabel, self.renderNodeLine(n, lay))
     }.toDF("label", "value")
@@ -208,11 +220,11 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
     layouts
   }
 
-  def writeEdges(ds: Dataset[KgEdge]): Unit = {
-    val spark = ds.sparkSession
+  def writeEdges(ds: Dataset[KgEdge]): Unit = withWriteCache(ds) { input =>
+    val spark = input.sparkSession
     import spark.implicits._
-    val valid = validEdges(ds)
-    val layouts = probeEdgeLayouts(ds)
+    val valid = validEdges(input)
+    val layouts = probeEdgeLayouts(input)
     val bc = spark.sparkContext.broadcast(layouts)
     val self = this
     val rendered = valid.map { e =>
