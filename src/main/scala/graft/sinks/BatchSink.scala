@@ -169,17 +169,7 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
     layouts
   }
 
-  /** Persist `ds` for the duration of `use` unless the caller already
-    * persisted this exact dataset: every write is ≥ 2 passes (layout
-    * probe + render), and an unpersisted upstream (pipeline aggregates)
-    * would recompute per pass. A dataset DERIVED from a cached plan reads
-    * its parent's cache, so the extra persist is bounded by the write's
-    * own (post-dedup) row set either way. */
-  private def withWriteCache[T, A](ds: Dataset[T])(use: Dataset[T] => A): A =
-    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try use(cached) finally cached.unpersist(blocking = false)
-    } else use(ds)
+  import BatchSink.withWriteCache
 
   def writeNodes(ds: Dataset[KgNode]): Unit = withWriteCache(ds) { input =>
     val spark = input.sparkSession
@@ -262,6 +252,19 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
 }
 
 object BatchSink {
+
+  /** Persist `ds` for the duration of `use` unless the caller already
+    * persisted this exact dataset: sink writes evaluate their input more
+    * than once (layout probe + render pass, or a decls/body branch pair
+    * in one union), and an unpersisted upstream (pipeline aggregates)
+    * would recompute per evaluation. A dataset DERIVED from a cached plan
+    * reads its parent's cache, so the extra persist is bounded by the
+    * write's own (post-dedup) row set either way. */
+  private[sinks] def withWriteCache[T, A](ds: Dataset[T])(use: Dataset[T] => A): A =
+    if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try use(cached) finally cached.unpersist(blocking = false)
+    } else use(ds)
 
   val BuiltinRelLabels = Set("IS_SOURCE_OF", "IS_TARGET_OF", "IS_PART_OF")
 

@@ -231,28 +231,28 @@ final class RdfSink(
     if (format == "xml") wrapXmlFiles()
   }
 
-  def writeNodes(ds: Dataset[KgNode]): Unit = {
-    val spark = ds.sparkSession
+  def writeNodes(ds: Dataset[KgNode]): Unit = BatchSink.withWriteCache(ds) { input =>
+    val spark = input.sparkSession
     import spark.implicits._
     val self = this
-    val body = ds.flatMap { n =>
+    val body = input.flatMap { n =>
       val fl = Naming.nameSentenceToPascal(n.label)
       self.nodeLines(n).map(l => (fl, l))
     }
-    val decls = ds.select(col("label")).distinct().as[String]
+    val decls = input.select(col("label")).distinct().as[String]
       .map(l => (Naming.nameSentenceToPascal(l), self.classLine(l)))
     writeLabeled(decls.union(body).toDF("label", "value"))
   }
 
-  def writeEdges(ds: Dataset[KgEdge]): Unit = {
-    val spark = ds.sparkSession
+  def writeEdges(ds: Dataset[KgEdge]): Unit = BatchSink.withWriteCache(ds) { input =>
+    val spark = input.sparkSession
     import spark.implicits._
     val self = this
-    val body = ds.flatMap { e =>
+    val body = input.flatMap { e =>
       val fl = Naming.nameSentenceToPascal(e.label)
       self.edgeLines(e).map(l => (fl, l))
     }
-    val decls = ds.select(col("label")).distinct().as[String]
+    val decls = input.select(col("label")).distinct().as[String]
       .map(l => (Naming.nameSentenceToPascal(l), self.classLine(l)))
     writeLabeled(decls.union(body).toDF("label", "value"))
   }
