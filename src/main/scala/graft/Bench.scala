@@ -196,6 +196,24 @@ object Bench {
     val secFull = runFull.map(field(_, "sec")).getOrElse(sec4N)
     val thrFull = triples4N / secFull
 
+    // hub-skew leg (VERDICT r7 #7): re-prove on every official line that
+    // the fused pipeline absorbs a head entity present in ~50% of docs
+    // without a straggling task (bar: dominant-stage max <= 4x median).
+    // Half the headline corpus keeps the leg ~1/4 of one bench pass;
+    // SPARK_GRAFT_BENCH_SKEW_DOCS=0 disables.
+    val skewDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKEW_DOCS",
+      (benchDocs / 2).toString).toLong
+    val skewStr =
+      if (skewDocs <= 0) ""
+      else {
+        val out = runSubprocess("graft.BenchSkew",
+          Seq(cpus.toString, skewDocs.toString))
+        f""""kg_skew_docs":$skewDocs,"kg_skew_sec":${field(out, "sec")}%.2f,""" +
+          s""""kg_skew_triples":${field(out, "triples").toLong},""" +
+          f""""kg_skew_dominant_ratio":${field(out, "dominant_ratio")}%.2f,""" +
+          f""""kg_skew_stage_ratio_max":${field(out, "max_ratio")}%.2f,"""
+      }
+
     // 2) headline per-query timings at the requested parallelism
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -255,6 +273,7 @@ object Bench {
         f""""kg_sec_n$lo%d":$secN%.2f,"kg_sec_n$hi%d":$sec4N%.2f,""" +
         f""""kg_triples_per_sec_n$lo%d":$thrN%.0f,"kg_triples_per_sec_n$hi%d":$thr4N%.0f,""" +
         f""""kg_sec_full_n$cpus%d":$secFull%.2f,"kg_triples_per_sec_full_n$cpus%d":$thrFull%.0f,""" +
+        skewStr +
         s"""$sampleStr,""" +
         f""""kg_scaling_efficiency_bestpair":$effBestPair%.3f,""" +
         f""""kg_scaling_efficiency_bestof":$effBestOf%.3f,""" +

@@ -413,14 +413,32 @@ final class KgSession(
     sb.toString
   }
 
+  /** Minimal JSON string escape (quote, backslash, control chars) — a
+    * schema class name with a quote must not yield invalid JSON
+    * (ADVICE r7 #3). */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
+  }
+
   /** The same schema map as `json.dumps` would render it (reference stores
     * JSON in the schema_info NODE, _core.py:747; YAML only in the sidecar
-    * file — ADVICE r6). Key order follows the schema, like a Python dict. */
+    * file — ADVICE r6). Key order follows the schema, like a Python dict —
+    * with the reference's `is_schema_info` marker appended LAST, where
+    * `schema["is_schema_info"] = True` lands in dict insertion order
+    * (_core.py:703). */
   private def schemaInfoJsonFrom(counts: Map[String, (String, Long)]): String =
-    schemaInfoFlags(counts).map { case (name, repr, present, isRel) =>
-      s""""$name": {"represented_as": "$repr", """ +
+    (schemaInfoFlags(counts).map { case (name, repr, present, isRel) =>
+      s"""${jsonStr(name)}: {"represented_as": ${jsonStr(repr)}, """ +
         s""""present_in_knowledge_graph": $present, "is_relationship": $isRel}"""
-    }.mkString("{", ", ", "}")
+    } ++ Seq(""""is_schema_info": true"""))
+      .mkString("{", ", ", "}")
 }
 
 object KgSession {

@@ -384,10 +384,17 @@ final class KgPipeline(
     *    re-scanned the cache per consumer). The checkpoint is a leaf — a
     *    free pushdown barrier — and its blocks are freed by the
     *    ContextCleaner when the dataset goes unreachable (no cache leak).
-    *    Cluster note: localCheckpoint blocks are lineage-truncated, so an
-    *    executor loss fails the job instead of recomputing — at 100 TB run
-    *    this stage with `spark.checkpoint.dir`-backed reliable checkpoints
-    *    or task retry at the job level; the data is ≤ C(|dict|, 2) longs;
+    *    Cluster note: the barrier is config-gated. When the SparkContext
+    *    has a checkpoint dir (`sc.setCheckpointDir` / a cluster's
+    *    `spark.checkpoint.dir`) — and `spark.graft.barrier` is not forced
+    *    to `local` — the barrier is a RELIABLE `Dataset.checkpoint(eager =
+    *    false)`: blocks live on the cluster FS, so an executor loss
+    *    recomputes nothing and fails nothing. Without a checkpoint dir
+    *    (the sandbox default) it stays `localCheckpoint`, whose blocks are
+    *    lineage-truncated — an executor loss fails the job, acceptable
+    *    because the data is ≤ C(|dict|, 2) longs and job-level retry is
+    *    cheap at that size. Both paths spec-proven identical
+    *    (PipelineSpec);
     *  - mention triples are explode + broadcast rank decode + a 3-column
     *    select (the KgEdge path built a props bag per row);
     *  - doc rdf:type triples are a doc_id-only cache read (nested-column
@@ -399,10 +406,19 @@ final class KgPipeline(
   def triplesFromSets(ms: DataFrame,
       maxEntitiesPerDoc: Int = Mentions.DefaultMaxEntitiesPerDoc): Dataset[Triple] = {
     val typeMap = typedLit(labelTypeMap)
-    val keys = graft.extract.CoocCombine.partialPairAndRankKeys(
+    val distinctKeys = graft.extract.CoocCombine.partialPairAndRankKeys(
         ms.select(col("pm")).as[Array[Long]], bcDict, maxEntitiesPerDoc)
       .toDF("k").distinct()
-      .localCheckpoint(false) // lazy: materializes with the first action
+    // lazy barrier: materializes with the first action; reliable (cluster-FS)
+    // when a checkpoint dir is configured, local blocks otherwise — see the
+    // cluster note above. `spark.graft.barrier=local` forces the local path
+    // even with a dir set (lets a cluster opt out, and lets tests restore
+    // the default after exercising the reliable branch).
+    val keys =
+      if (spark.sparkContext.getCheckpointDir.isDefined
+          && spark.conf.get("spark.graft.barrier", "auto") != "local")
+        distinctKeys.checkpoint(false)
+      else distinctKeys.localCheckpoint(false)
     val hi = shiftright(col("k"), 32).cast("int")
     val lo = col("k").bitwiseAND(lit(0xffffffffL)).cast("int")
     val entityThin = entityThinFromRanks(keys.filter(hi === lo).select(hi.as("rank")))

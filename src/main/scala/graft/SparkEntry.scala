@@ -177,8 +177,12 @@ object SparkEntry {
       // dropDuplicates winner is invisible to the hash compare.
       val pipe = KgPipeline.analytics(s)
       import s.implicits._
-      val dm = pipe.docMentions(kgDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, NOT persist: the blocks are freed by the
+      // ContextCleaner once the dataset goes unreachable, while a SQL-cache
+      // entry would outlive the query and accumulate across bench reps
+      // (ADVICE r7 #1). Materializes once with the first action and is
+      // shared by the entity and doc branches below.
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val entityRaw = dm.select(col("curie"), col("cls"), col("surface"))
         .as[(String, String, String)]
         .map { case (c, cls, sf) =>
@@ -239,7 +243,7 @@ object SparkEntry {
     "kg_stream_edges" -> ((s, dir) => {
       // edge half of the streaming KG slice, batch-twin oracled (VERDICT
       // r6 #2): same staging as kg_stream_nodes (8 staged files, 4 per
-      // trigger -> 2 micro-batches, child session with 8 state partitions,
+      // trigger -> 2 micro-batches, child session with 2 state partitions,
       // AvailableNow drain), run through ingestEdgesStream — mention
       // detection -> RawEdge -> translation -> TTL-bounded cross-batch
       // edge dedup on (label, src_tgt). Must equal the batch mention-edge
@@ -284,8 +288,10 @@ object SparkEntry {
     }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
-      val dm = pipe.docMentions(kgDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
+      // when unreachable; a SQL-cache entry would leak for the session
+      // lifetime since the returned plan outlives this builder (ADVICE r7 #1)
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val ns = pipe.nodes(dm)
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
       graft.sinks.Tables.schemaInfo(pipe.bcCtx.value, ns, es)
@@ -401,11 +407,11 @@ object SparkEntry {
     "kg_node_frame" -> ((s, dir) => {
       // in-memory KG materialization (reference in_memory/_pandas.py):
       // pivoted per-label frame for one class. The deduped node table is
-      // persisted so the frame machinery's label probe + frame scan run
-      // one pipeline pass, not two
+      // checkpointed (lazy, local) so the frame machinery's label probe +
+      // frame scan run one pipeline pass, not two — and the blocks free
+      // themselves when the frame goes unreachable (ADVICE r7 #1)
       val pipe = KgPipeline.analytics(s)
-      val ns = pipe.nodes(pipe.docMentions(kgDocs(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ns = pipe.nodes(pipe.docMentions(kgDocs(s, dir))).localCheckpoint(false)
       graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
         .select(col("node_id"), col("node_label"), col("name"))
     }),
@@ -414,8 +420,7 @@ object SparkEntry {
       // (reference in_memory/_pandas.py:87-95: json_normalize carries the
       // four relationship columns PLUS one column per property)
       val pipe = KgPipeline.analytics(s)
-      val dm = pipe.docMentions(kgDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
       graft.sinks.Tables.edgeFrames(pipe.bcCtx.value, es)("COOCCURS_WITH")
         .select(col("source_id"), col("target_id"),
@@ -471,8 +476,7 @@ object SparkEntry {
       // reified-edge triple table (reference RDF semantics: edges become
       // predicate nodes with biocypher:subject/object links, _rdf.py:127-165)
       val pipe = KgPipeline.analytics(s)
-      val dm = pipe.docMentions(kgDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
       new graft.sinks.RdfSink(pipe.bcCtx.value, workDir(s, "rdf")).reifiedEdgeTriples(es)
     }),
@@ -514,9 +518,12 @@ object SparkEntry {
       // operating point. Narrower bands (smaller r) hash more, coarser
       // buckets -> more candidates -> recall non-increasing in r.
       val docs = tbl(s, dir, "documents")
+      // lazy localCheckpoint, NOT persist: shared by the three r-branches
+      // of one union plan, materialized once by the first action, blocks
+      // freed when unreachable — no CacheManager leak (ADVICE r7 #1)
       val truth = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.3)
         .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       Seq(2, 4, 8).map { r =>
         // r=8 is the shared artifact's own operating point — reuse it
         val cand = if (r == 8) lshCandArtifact(s, dir)
@@ -540,6 +547,10 @@ object SparkEntry {
       // concat-then-chunk sequence packing (LLM pretraining loader shape):
       // distributed prefix sum, never a global single-partition window
       graft.ops.SampleOps.packSequences(tbl(s, dir, "documents"), capacity = 512)),
+    "sample_pack_slices" -> ((s, dir) =>
+      // the loader contract's per-sequence view (VERDICT r7 #4): which
+      // token slice of which doc fills each fixed-capacity sequence
+      graft.ops.SampleOps.packSlices(tbl(s, dir, "documents"), capacity = 512)),
     "mm_features" -> ((s, dir) => {
       // scalar f0..f3 (not an array column): the driver's pandas comparator
       // cannot sort list columns, so the gate needs flat columns
@@ -605,6 +616,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       DedupOps.lshBuckets(tbl(s, dir, "documents"), n = 2, k = 16, r = 4)),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhash(tbl(s, dir, "documents"))),
+    // intra-corpus repeated-n-gram self-dedup (Lee et al. 2022 shape):
+    // per-doc share of 8-token windows that occur in >= 2 documents
+    "dedup_selfgram" -> ((s, dir) =>
+      DedupOps.selfNgramDedup(tbl(s, dir, "documents"), n = 8)),
+    // span view: every occurrence of a cross-doc-shared 8-token window
+    "dedup_selfgram_spans" -> ((s, dir) =>
+      DedupOps.selfNgramSpans(tbl(s, dir, "documents"), n = 8)),
 
     // -- training-data ops: similarity search --
     "ann_cosine_topk" -> ((s, dir) => {
@@ -671,8 +689,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val k = 20
+      // lazy localCheckpoint (shared by the four nProbe branches, freed
+      // when unreachable — ADVICE r7 #1)
       val exact = AnnOps.cosineTopK(emb, q, excludeId = 0L, k).select("vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       Seq(1, 2, 4, 8).map { np =>
         val approx = AnnOps.ivfTopKFromIndex(s, ivfIndex(s, dir), q,
           excludeId = 0L, k, nProbe = np).select("vec_id")
@@ -693,6 +713,26 @@ object SparkEntry {
       // two-table recall repair over disjoint dimension slices; superset of
       // dedup_embedding's single-table pairs
       AnnOps.cosineNearDupPairsMulti(tbl(s, dir, "embeddings"), minCos = 0.3, tables = 2)),
+    "dedup_embedding_recall" -> ((s, dir) => {
+      // recall of the sign-LSH near-dup paths vs the brute-force cosine
+      // truth (VERDICT r7 #5), mirroring dedup_recall: one shared exact
+      // truth, one row per table count — quantifying the measured
+      // multi-table repair on this corpus
+      val emb = tbl(s, dir, "embeddings")
+      val truth = AnnOps.cosinePairsBrute(emb, minCos = 0.3)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint(false)
+      Seq(1, 2).map { t =>
+        val got = (if (t == 1) AnnOps.cosineNearDupPairs(emb, minCos = 0.3)
+          else AnnOps.cosineNearDupPairsMulti(emb, minCos = 0.3, tables = 2))
+          .select(col("vec_a"), col("vec_b")).withColumn("_hit", lit(1L))
+        truth.join(got, Seq("vec_a", "vec_b"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+          .select(lit(t.toLong).as("tables"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      }.reduce(_.union(_))
+    }),
 
     // -- multimodal plumbing --
     "mm_media_meta" -> ((s, dir) =>
@@ -1480,6 +1520,20 @@ object SparkEntry {
         |  s // 512 AS seq_id,
         |  (s + n - 1) // 512 - s // 512 + 1 AS n_seqs
         |FROM c""".stripMargin,
+    "sample_pack_slices" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t),
+        |q AS (SELECT doc_id, n, s, CAST(unnest(generate_series(s // 512,
+        |         (s + n - 1) // 512)) AS BIGINT) AS seq_id
+        |      FROM c)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(s, seq_id * 512) - s AS skip_tokens,
+        |  LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512) AS take_tokens
+        |FROM q""".stripMargin,
     "text_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1525,6 +1579,31 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "dedup_selfgram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 8 THEN array_to_string(list_slice(t, i, i+7), ' ')
+        |              ELSE array_to_string(t, ' ') END AS gram
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-7, 1))) AS i) s),
+        |g AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(gram),1,14))::BIGINT % 1000000007 AS h FROM g0),
+        |shared AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS shared_ratio
+        |FROM g GROUP BY doc_id""".stripMargin,
+    "dedup_selfgram_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+        |         CASE WHEN len(t) >= 8 THEN array_to_string(list_slice(t, i, i+7), ' ')
+        |              ELSE array_to_string(t, ' ') END AS gram
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-7, 1))) AS i) s),
+        |p AS (SELECT doc_id, start_pos,
+        |        ('0x'||substr(md5(gram),1,14))::BIGINT % 1000000007 AS h FROM g0),
+        |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, h FROM p) GROUP BY h HAVING count(*) >= 2)
+        |SELECT p.doc_id, p.start_pos, p.h, df.df FROM p JOIN df USING (h)""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT list_transform(embedding,
@@ -1684,6 +1763,38 @@ object SparkEntry {
          |  SELECT x.vec_id, y.vec_id, $cos
          |  FROM e1 x JOIN e1 y ON x.b = y.b AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.3""".stripMargin
+    },
+    "dedup_embedding_recall" -> {
+      def bucket(offset: Int): String = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${offset + j + 1}]>0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val cos = "round(list_dot_product(x.q,y.q) / " +
+        "(sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6)"
+      s"""WITH e AS (SELECT vec_id, ${bucket(0)} AS b0, ${bucket(8)} AS b1,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |truth AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id WHERE $cos >= 0.3),
+         |e0 AS (SELECT vec_id, b0 AS b, q FROM e
+         |       QUALIFY count(*) OVER (PARTITION BY b0) <= 256),
+         |e1 AS (SELECT vec_id, b1 AS b, q FROM e
+         |       QUALIFY count(*) OVER (PARTITION BY b1) <= 256),
+         |c1 AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, 1 AS hit
+         |  FROM e0 x JOIN e0 y ON x.b = y.b AND x.vec_id < y.vec_id WHERE $cos >= 0.3),
+         |c2 AS (SELECT vec_a, vec_b, 1 AS hit FROM (
+         |  SELECT vec_a, vec_b FROM c1
+         |  UNION
+         |  SELECT x.vec_id, y.vec_id
+         |  FROM e1 x JOIN e1 y ON x.b = y.b AND x.vec_id < y.vec_id WHERE $cos >= 0.3))
+         |SELECT CAST(1 AS BIGINT) AS tables, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(COALESCE(c1.hit, 0)) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(COALESCE(c1.hit, 0)) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth LEFT JOIN c1 USING (vec_a, vec_b)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(SUM(COALESCE(c2.hit, 0)) AS BIGINT),
+         |  round(CAST(SUM(COALESCE(c2.hit, 0)) AS DOUBLE) / count(*), 6)
+         |FROM truth LEFT JOIN c2 USING (vec_a, vec_b)""".stripMargin
     },
     "ann_vector_groups" ->
       """SELECT md5(to_json(list_transform(embedding,

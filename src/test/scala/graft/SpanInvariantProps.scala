@@ -189,4 +189,30 @@ object PackProps extends Properties("PackSequences") {
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       offsetsOk && gridOk && rows.toSet == one
     }
+
+  property("slice view: per-doc slices sum to n_tokens, every seq full except the last") =
+    forAll(corpusAndCapacity) { case (docs, capacity, parts) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val slices = graft.ops.SampleOps.packSlices(df, capacity, numPartitions = parts)
+        .as[(Long, Long, Long, Long)].collect().toList
+      val nTok = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      // conservation: each doc's slice lengths sum to its token count, and
+      // skip offsets tile the doc contiguously from 0 in seq order
+      val perDoc = slices.groupBy(_._2).map { case (d, ss) =>
+        val sorted = ss.sortBy(_._1)
+        val tiled = sorted.scanLeft(0L)(_ + _._4).zip(sorted)
+          .forall { case (skip, (_, _, sk, _)) => skip == sk }
+        sorted.map(_._4).sum == nTok(d) && tiled && ss.forall(_._4 > 0)
+      }
+      // capacity: every sequence except the highest-numbered holds exactly
+      // `capacity` tokens
+      val bySeq = slices.groupBy(_._1)
+      val lastSeq = bySeq.keys.max
+      val fullOk = bySeq.forall { case (q, ss) =>
+        val tot = ss.map(_._4).sum
+        if (q == lastSeq) tot <= capacity && tot > 0 else tot == capacity
+      }
+      perDoc.forall(identity) && fullOk
+    }
 }

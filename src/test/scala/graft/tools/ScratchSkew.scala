@@ -16,41 +16,14 @@ import graft.corpus.{AnalyticsDomain, Corpus}
   */
 object ScratchSkew {
 
-  final class TaskStats extends SparkListener {
-    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      if (t.taskInfo != null && t.taskInfo.successful) {
-        byStage.computeIfAbsent(t.stageId, _ => new java.util.Vector[Long]())
-          .add(t.taskInfo.duration)
-      }
-    }
-  }
-
-  def stageSkewReport(stats: TaskStats, minTasks: Int = 8): Seq[(Int, Int, Long, Long, Double)] = {
-    import scala.jdk.CollectionConverters._
-    stats.byStage.asScala.toSeq.sortBy(_._1).flatMap { case (sid, v) =>
-      val ds = v.asScala.map(_.toLong).toSeq.sorted
-      if (ds.length < minTasks) None
-      else {
-        val med = ds(ds.length / 2)
-        val mx = ds.last
-        Some((sid, ds.length, med, mx, if (med == 0) 1.0 else mx.toDouble / med))
-      }
-    }
-  }
-
-  def ensureSkewedInput(spark: SparkSession, nDocs: Long): String = {
-    val parts = math.max(8, math.ceil(nDocs / 125000.0).toInt)
-    val dir = s"/tmp/graft-bench-input/skewed-$nDocs-p$parts"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
-      Corpus.synthesizeSkewed(spark, nDocs, AnalyticsDomain.vocab,
-        AnalyticsDomain.dictionary.map(_._1), numPartitions = parts)
-        .write.mode("overwrite").parquet(dir)
-    }
-    dir
-  }
+  // the listener/report/input machinery moved to main scope (r8) so the
+  // official bench line can run the skew leg itself (graft.BenchSkew);
+  // this probe keeps the richer interactive output on the shared code
+  type TaskStats = BenchSkew.TaskStats
+  def stageSkewReport(stats: TaskStats, minTasks: Int = 8): Seq[(Int, Int, Long, Long, Double)] =
+    BenchSkew.stageSkewReport(stats, minTasks)
+  def ensureSkewedInput(spark: SparkSession, nDocs: Long): String =
+    BenchSkew.ensureSkewedInput(spark, nDocs)
 
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
