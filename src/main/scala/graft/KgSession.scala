@@ -410,6 +410,10 @@ final class KgSession(
       sb ++= s"  present_in_knowledge_graph: ${present.toString.capitalize}\n"
       sb ++= s"  is_relationship: ${isRel.toString.capitalize}\n"
     }
+    // the reference sets schema["is_schema_info"] = True before yaml.dump
+    // (_core.py:703), so the sidecar carries the marker too (we keep
+    // schema order where yaml.dump sorts alphabetically, as elsewhere)
+    sb ++= "is_schema_info: true\n"
     sb.toString
   }
 
