@@ -623,6 +623,11 @@ object SparkEntry {
     // span view: every occurrence of a cross-doc-shared 8-token window
     "dedup_selfgram_spans" -> ((s, dir) =>
       DedupOps.selfNgramSpans(tbl(s, dir, "documents"), n = 8)),
+    // the family's end product: corpus with boilerplate-heavy docs
+    // (>= half their 8-gram windows shared with another doc) removed
+    "dedup_selfgram_apply" -> ((s, dir) =>
+      DedupOps.applySelfNgram(tbl(s, dir, "documents"), n = 8, maxRatio = 0.5)
+        .select(col("doc_id"))),
 
     // -- training-data ops: similarity search --
     "ann_cosine_topk" -> ((s, dir) => {
@@ -1604,6 +1609,19 @@ object SparkEntry {
         |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df
         |       FROM (SELECT DISTINCT doc_id, h FROM p) GROUP BY h HAVING count(*) >= 2)
         |SELECT p.doc_id, p.start_pos, p.h, df.df FROM p JOIN df USING (h)""".stripMargin,
+    "dedup_selfgram_apply" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 8 THEN array_to_string(list_slice(t, i, i+7), ' ')
+        |              ELSE array_to_string(t, ' ') END AS gram
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t)-7, 1))) AS i) s),
+        |g AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(gram),1,14))::BIGINT % 1000000007 AS h FROM g0),
+        |shared AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |drop_ids AS (
+        |  SELECT doc_id FROM g GROUP BY doc_id
+        |  HAVING CAST(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    >= count(*) * 0.5)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT list_transform(embedding,

@@ -359,6 +359,24 @@ object DedupOps {
         round(count(col("df")).cast("double") / count(lit(1)), 6).as("shared_ratio"))
   }
 
+  /** Apply [[selfNgramDedup]] — the family's end product, mirroring
+    * [[applyClusters]]: keep every document whose shared-window ratio is
+    * BELOW `maxRatio` (strictly: drop docs with
+    * `n_shared / n_grams >= maxRatio`; `maxRatio = 1.0` drops only docs
+    * made entirely of cross-document boilerplate, lower values cut
+    * deeper). Returns the surviving documents with their original
+    * columns. One semi-reduction: the scorer's thin output filters to a
+    * drop set (small by construction for any useful threshold) and the
+    * corpus anti-joins against it — the corpus itself is never shuffled,
+    * same discipline as [[applyClusters]]. */
+  def applySelfNgram(documents: DataFrame, n: Int = 8, minDf: Long = 2L,
+      maxRatio: Double = 1.0): DataFrame = {
+    val drop = selfNgramDedup(documents, n, minDf)
+      .filter(col("n_shared").cast("double") >= col("n_grams").cast("double") * maxRatio)
+      .select(col("doc_id"))
+    documents.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Span view of [[selfNgramDedup]]: every occurrence (including repeats
     * within one document) of a cross-document-shared `n`-token window, as
     * (doc_id, start_pos, h, df) with `start_pos` the 1-based token index —

@@ -352,6 +352,21 @@ class OpsSpec extends AnyFunSuite {
     assert(spans.map(_._4).distinct == Seq(2L), "df counts each doc once")
   }
 
+  test("applySelfNgram drops boilerplate-heavy docs at the ratio threshold") {
+    // from the selfgram spec corpus: docs 1/2 have ratio 0.5, docs 3/4 have 0
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "q a b c"), (3L, "x y z w x y z"), (4L, "m n o"))
+      .toDF("doc_id", "text")
+    def kept(maxRatio: Double) =
+      graft.ops.DedupOps.applySelfNgram(docs, n = 3, maxRatio = maxRatio)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(0.5) == Set(3L, 4L), "ratio-0.5 docs dropped at threshold 0.5 (>=)")
+    assert(kept(0.6) == Set(1L, 2L, 3L, 4L), "threshold above the ratio keeps everything")
+    // survivors keep their original columns
+    val cols = graft.ops.DedupOps.applySelfNgram(docs, n = 3).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("packSlices tiles every doc contiguously and fills each sequence to capacity") {
     import graft.ops.SampleOps
     // same corpus as the packSequences spec: offsets 0,3,4,9,11, capacity 4.
