@@ -216,3 +216,72 @@ object PackProps extends Properties("PackSequences") {
       perDoc.forall(identity) && fullOk
     }
 }
+
+/** Generator-driven invariants of the intra-corpus self-dedup family
+  * ([[graft.ops.DedupOps.selfNgramDedup]]/`selfNgramSpans`/`applySelfNgram`):
+  * all three views must agree with a driver-side ground truth computed
+  * with the SAME md5-derived gram hash (so string-collision noise cannot
+  * flake the comparison) over arbitrary corpora and window widths. */
+object SelfGramProps extends Properties("SelfNgramDedup") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkTestBase.spark
+
+  /** Driver-side replica of TextOps.tokenHash mod Mod. */
+  private def hash56(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14)
+    java.lang.Long.parseLong(hex, 16) % graft.ops.TextOps.Mod
+  }
+
+  /** Positional grams per the shared convention: a doc shorter than n
+    * tokens contributes its whole text as one gram at position 1. */
+  private def posGrams(text: String, n: Int): Seq[(Int, String)] = {
+    val t = text.split(" ", -1).toSeq
+    if (t.length >= n) t.sliding(n).map(_.mkString(" ")).zipWithIndex
+      .map { case (g, i) => (i + 1, g) }.toSeq
+    else Seq((1, t.mkString(" ")))
+  }
+
+  // small vocabulary so cross-doc shared windows actually occur
+  private val corpusGen: Gen[(List[(Long, String)], Int)] = for {
+    nDocs <- Gen.chooseNum(2, 24)
+    width <- Gen.chooseNum(2, 4)
+    texts <- Gen.listOfN(nDocs,
+      Gen.chooseNum(1, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))))
+  } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, width)
+
+  property("doc view, span view and apply agree with the driver-side truth") =
+    forAll(corpusGen) { case (docs, n) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      // ground truth on hashed grams
+      val byDoc = docs.map { case (id, t) =>
+        id -> posGrams(t, n).map { case (p, g) => (p, hash56(g)) }
+      }.toMap
+      val dfCount = byDoc.values.flatMap(_.map(_._2).distinct).toSeq
+        .groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+      val wantDoc = byDoc.map { case (id, gs) =>
+        val distinct = gs.map(_._2).distinct
+        val shared = distinct.count(h => dfCount(h) >= 2L)
+        (id, distinct.size.toLong, shared.toLong,
+          BigDecimal(shared.toDouble / distinct.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val gotDoc = graft.ops.DedupOps.selfNgramDedup(df, n)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val wantSpans = byDoc.flatMap { case (id, gs) =>
+        gs.collect { case (p, h) if dfCount(h) >= 2L => (id, p.toLong, h, dfCount(h)) }
+      }.toSet
+      val gotSpans = graft.ops.DedupOps.selfNgramSpans(df, n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val wantKept = wantDoc.collect {
+        case (id, ng, ns, _) if ns.toDouble < ng.toDouble * 0.5 => id }
+      val gotKept = graft.ops.DedupOps.applySelfNgram(df, n, maxRatio = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      gotDoc == wantDoc && gotSpans == wantSpans && gotKept == wantKept
+    }
+}
