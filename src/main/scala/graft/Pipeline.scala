@@ -302,7 +302,7 @@ final class KgPipeline(
     // the trie walk ran TWICE per document (measured +2-3s at 16M docs /
     // 16 cores; ScratchDoubleEval). The Generate evaluates it once and the
     // filter reads the generated column.
-    docs.toDF.select(col("doc_id"), explode(array(extract)).as("pm"))
+    docs.toDF().select(col("doc_id"), explode(array(extract)).as("pm"))
       .where(size(col("pm")) > 0)
   }
 

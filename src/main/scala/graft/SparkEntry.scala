@@ -412,7 +412,13 @@ object SparkEntry {
       // themselves when the frame goes unreachable (ADVICE r7 #1)
       val pipe = KgPipeline.analytics(s)
       val ns = pipe.nodes(pipe.docMentions(kgDocs(s, dir))).localCheckpoint(false)
-      graft.sinks.Tables.nodeFrames(pipe.bcCtx.value, ns)("relational operator")
+      // single-frame consumer: release the shared frame base immediately —
+      // it buys nothing when only one label's frame is read, and holding
+      // it would leak a CacheManager entry per invocation (ADVICE r7 #1);
+      // the returned frame recomputes from the checkpointed ns in one scan
+      val (frames, base) = graft.sinks.Tables.nodeFramesWithHandle(pipe.bcCtx.value, ns)
+      base.unpersist(blocking = false)
+      frames("relational operator")
         .select(col("node_id"), col("node_label"), col("name"))
     }),
     "kg_edge_frame" -> ((s, dir) => {
@@ -422,7 +428,10 @@ object SparkEntry {
       val pipe = KgPipeline.analytics(s)
       val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
-      graft.sinks.Tables.edgeFrames(pipe.bcCtx.value, es)("COOCCURS_WITH")
+      // single-frame consumer: release the shared base (see kg_node_frame)
+      val (frames, base) = graft.sinks.Tables.edgeFramesWithHandle(pipe.bcCtx.value, es)
+      base.unpersist(blocking = false)
+      frames("COOCCURS_WITH")
         .select(col("source_id"), col("target_id"),
           col("relationship_label"), col("n_docs"))
     }),

@@ -207,7 +207,7 @@ object AnnOps {
       queryVec: Seq[Double], excludeId: Long, k: Int, nProbe: Int): DataFrame = {
     val probes = rankProbes(cents, queryVec, nProbe)
     val pruned = ivfAssign(embeddings, cents)
-      .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("ivf_cid").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
     cosineTopK(pruned, queryVec, excludeId, k)
   }
 
@@ -242,7 +242,7 @@ object AnnOps {
       queryVec: Seq[Double], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
     val probes = rankProbes(readIvfCentroids(spark, path), queryVec, nProbe)
     val pruned = spark.read.parquet(s"$path/vectors")
-      .filter(col("ivf_cid").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("ivf_cid").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
     cosineTopK(pruned, queryVec, excludeId, k)
   }
 

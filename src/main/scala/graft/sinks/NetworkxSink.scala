@@ -35,7 +35,7 @@ final class NetworkxSink(
   def writeNodes(nodes: Dataset[KgNode]): Unit = {
     val (frames, base) = Tables.nodeFramesWithHandle(ctx, nodes)
     val all = frames.values.map(df => df.select(col("node_id"), col("node_label"),
-      to_json(struct(df.columns.filterNot(Set("node_id", "node_label")).map(col): _*))
+      to_json(struct(df.columns.toIndexedSeq.filterNot(Set("node_id", "node_label")).map(col): _*))
         .as("attrs")))
     if (all.nonEmpty) {
       all.reduce(_ unionByName _).write

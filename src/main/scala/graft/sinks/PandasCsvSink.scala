@@ -47,7 +47,7 @@ final class PandasCsvSink(
     // (read back with index_col=0)
     val w = Window.orderBy(col(orderCol))
     val indexed = df.withColumn("", row_number().over(w) - 1 + existingRows)
-      .select(col("") +: df.columns.map(col): _*)
+      .select(col("") +: df.columns.toIndexedSeq.map(col): _*)
     // all file assembly through the Hadoop FileSystem API (no java.nio:
     // Paths.get collapses URI authorities, and appends must work where the
     // store has no POSIX append — the merged file is rebuilt and renamed in)

@@ -55,7 +55,7 @@ object Tables {
         p => struct(p.getField("k"), coalesce(p.getField("v").getField("s"),
           array_join(p.getField("v").getField("arr"), "|"))))).as("_p"),
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val frames = ListMap(labels.map { label =>
+    val frames = ListMap(labels.toIndexedSeq.map { label =>
       // declared props + the injected id/preferred_id (reference frames
       // carry them: json_normalize of the full property dict)
       val keys: Seq[(String, String)] = ctx.spec(label).map(_.properties.toSeq).filter(_.nonEmpty)
@@ -109,7 +109,7 @@ object Tables {
         p => struct(p.getField("k"), coalesce(p.getField("v").getField("s"),
           array_join(p.getField("v").getField("arr"), "|"))))).as("_p"),
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val frames = ListMap(labels.map { label =>
+    val frames = ListMap(labels.toIndexedSeq.map { label =>
       val keys: Seq[(String, String)] = ctx.schemaClassForEdgeLabel(label)
         .flatMap(ctx.spec).map(_.properties.toSeq).filter(_.nonEmpty)
         .getOrElse(firsts(label).map(p => p.k -> p.v.t))

@@ -209,7 +209,7 @@ class PipelineSpec extends AnyFunSuite {
     )
     for (dict <- dicts) {
       val bc = spark.sparkContext.broadcast(dict)
-      val got = docs.toDF.select(col("doc_id"),
+      val got = docs.toDF().select(col("doc_id"),
           GraftColumnBridge.column(graft.functions.ExtractMentions(
             GraftColumnBridge.expression(col("spans")), bc)).as("pm"))
         .select(col("doc_id"), explode(col("pm")).as("p"))
@@ -369,7 +369,7 @@ class PipelineSpec extends AnyFunSuite {
     // the fused CoocPackedPairs expression applies the identical cap +
     // tie-break: same pair count, same lexicographically-smallest survivors
     import org.apache.spark.sql.GraftColumnBridge
-    val pmDf = docs.toDF.select(
+    val pmDf = docs.toDF().select(
       GraftColumnBridge.column(graft.functions.ExtractMentions(
         GraftColumnBridge.expression(col("spans")), bc)).as("pm"))
     val fusedPairs = pmDf.select(explode(GraftColumnBridge.column(

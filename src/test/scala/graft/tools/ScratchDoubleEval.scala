@@ -38,12 +38,12 @@ object ScratchDoubleEval {
       val na = timed(s"p$pass A filtered ") { a.count() }
       a.unpersist(true)
 
-      val b = docs.toDF.select(col("doc_id"), extractCol.as("pm"))
+      val b = docs.toDF().select(col("doc_id"), extractCol.as("pm"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nb = timed(s"p$pass B unfiltered") { b.count() }
       b.unpersist(true)
 
-      val c = docs.toDF
+      val c = docs.toDF()
         .select(col("doc_id"), explode(array(extractCol)).as("pm"))
         .where(size(col("pm")) > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)

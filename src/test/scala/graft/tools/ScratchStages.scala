@@ -36,7 +36,7 @@ object ScratchStages {
     // substage A: parquet scan + full text decode alone (no trie) — force
     // real column reads (a bare count() answers from parquet metadata)
     timed("scan_decode_only") {
-      staged.toDF.select(explode(col("spans.text")).as("t"))
+      staged.toDF().select(explode(col("spans.text")).as("t"))
         .agg(sum(length(col("t")))).collect()
     }
     // substage B: scan + trie matching (fused byte-walk), no persist
