@@ -615,6 +615,14 @@ object SparkEntry {
       graft.ops.SampleOps.stratifiedSample(tbl(s, dir, "documents"), "lang",
           Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1))
         .select(col("doc_id"), col("lang"))),
+    "sample_mixture" -> ((s, dir) =>
+      // data-mixture composition (Pile/Dolma shape): 200-doc corpus at
+      // 50/30/20 over three sources — upsamples at sf0.01 (25 docs/source
+      // -> rates 4.0/2.4/1.6, whole epochs + fractional hash tail),
+      // downsamples at sf0.1 (250/source -> rates 0.4/0.24/0.16)
+      graft.ops.SampleOps.mixtureSample(tbl(s, dir, "documents"),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalDocs = 200)
+        .select(col("doc_id"), col("source"), col("epoch"))),
     "text_vocab" -> ((s, dir) =>
       graft.ops.SampleOps.topTokens(tbl(s, dir, "documents"), k = 20)),
 
@@ -1522,6 +1530,22 @@ object SparkEntry {
         |      WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 9000 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_mixture" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |r AS (SELECT c.source,
+        |        CAST(floor(rate) AS BIGINT) AS fulln,
+        |        CAST(round((rate - floor(rate)) * 10000) AS BIGINT) AS fracb
+        |      FROM (SELECT c.source,
+        |              LEAST(200 * CAST(s.share AS DOUBLE) / c.n, 16.0) AS rate
+        |            FROM cnt c JOIN shares s USING (source)) c),
+        |e AS (SELECT d.doc_id, d.source, CAST(ep.epoch AS BIGINT) AS epoch,
+        |        r.fulln, r.fracb
+        |      FROM documents d JOIN r USING (source),
+        |      LATERAL (SELECT unnest(generate_series(0, r.fulln)) AS epoch) ep)
+        |SELECT doc_id, source, epoch FROM e
+        |WHERE epoch < fulln OR
+        |  ('0x'||substr(md5(doc_id||':'||epoch||'graft'),1,14))::BIGINT % 10000 < fracb""".stripMargin,
     // the oracle IS the naive global running total the scale path avoids
     "sample_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -60,6 +60,55 @@ object SampleOps {
       coalesce(element_at(bounds, col(strataCol)), lit(0L)))
   }
 
+  /** Corpus MIXTURE composition — the Pile/Dolma data-mixing shape: build
+    * a training corpus of ~`totalDocs` documents where source `s`
+    * contributes `targetShares(s) * totalDocs` of them, UP- or
+    * DOWN-sampling each source as needed. A source whose target exceeds
+    * its size is repeated (epochs — the standard small-high-quality-source
+    * treatment); one whose target is smaller is hash-downsampled. Returns
+    * (original columns…, epoch) with one row per kept copy; epoch numbers
+    * the copies 0..k. Shares are taken as given (pass values summing to 1;
+    * they are deliberately NOT renormalized — a float sum's order
+    * dependence would break exact cross-engine replay).
+    *
+    * Deterministic like the rest of the family: the per-source RATE
+    * (= totalDocs * share / |source|, capped at `maxEpochs`) splits into
+    * whole epochs (always kept) plus one fractional epoch kept iff the
+    * (id, epoch)-seeded hash bucket clears the fractional bound — no RNG,
+    * no shuffle of the corpus. Scale shape: one map-side-combined count
+    * per source (dims-sized, collected), a broadcast literal rate map,
+    * then a per-row generator explode bounded by `maxEpochs` — the corpus
+    * is scanned once and never shuffled. */
+  def mixtureSample(documents: DataFrame, targetShares: Map[String, Double],
+      totalDocs: Long, sourceCol: String = "source", seed: String = "graft",
+      idCol: String = "doc_id", buckets: Int = 10000,
+      maxEpochs: Int = 16): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      s"shares must be positive: $targetShares")
+    require(totalDocs > 0 && maxEpochs >= 1)
+    val counts = documents.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates: Map[String, Double] = targetShares.flatMap { case (s, share) =>
+      counts.get(s).filter(_ > 0).map { n =>
+        s -> math.min(totalDocs * share / n, maxEpochs.toDouble)
+      }
+    }
+    val fullMap = typedLit(rates.map { case (s, r) => s -> math.floor(r).toLong })
+    val fracMap = typedLit(rates.map { case (s, r) =>
+      s -> math.round((r - math.floor(r)) * buckets)
+    })
+    val fullN = coalesce(element_at(fullMap, col(sourceCol)), lit(0L))
+    val fracBound = coalesce(element_at(fracMap, col(sourceCol)), lit(0L))
+    // epochs 0..fullN-1 always kept; the extra epoch `fullN` survives the
+    // fractional hash test (sources absent from the shares emit only that
+    // epoch and fail it with bound 0 — dropped, like stratifiedSample)
+    documents
+      .withColumn("epoch", explode(sequence(lit(0L), fullN)))
+      .filter(col("epoch") < fullN ||
+        hashBucket(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string")), seed, buckets) < fracBound)
+  }
+
   /** Concat-then-chunk sequence packing for LLM pretraining: documents in
     * deterministic `idCol` order form one global token stream, and each
     * document's START OFFSET in that stream assigns it to fixed-capacity

@@ -352,6 +352,33 @@ class OpsSpec extends AnyFunSuite {
     assert(spans.map(_._4).distinct == Seq(2L), "df counts each doc once")
   }
 
+  test("mixtureSample hits whole-epoch targets exactly and fractional ones deterministically") {
+    import graft.ops.SampleOps
+    val docs = ((1L to 4L).map(i => (i, "a")) ++ (5L to 6L).map(i => (i, "b")) ++
+      Seq((7L, "c"))).toDF("doc_id", "source")
+    // whole rates: a -> 8*0.5/4 = 1.0, b -> 8*0.5/2 = 2.0; c unlisted -> dropped
+    val whole = SampleOps.mixtureSample(docs, Map("a" -> 0.5, "b" -> 0.5),
+        totalDocs = 8, idCol = "doc_id")
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect().toSet
+    assert(whole == ((1L to 4L).map(i => (i, "a", 0L)) ++
+      (5L to 6L).flatMap(i => Seq((i, "b", 0L), (i, "b", 1L)))).toSet)
+    // fractional rates: a -> 6*0.5/4 = 0.75, b -> 6*0.5/2 = 1.5: every b doc
+    // keeps epoch 0; the fractional tails are hash-decided but deterministic
+    def frac() = SampleOps.mixtureSample(docs, Map("a" -> 0.5, "b" -> 0.5),
+        totalDocs = 6, idCol = "doc_id")
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect().toSet
+    val f1 = frac()
+    assert(f1 == frac(), "hash sampling must be run-stable")
+    assert((5L to 6L).forall(i => f1.contains((i, "b", 0L))), "whole epochs always kept")
+    assert(f1.collect { case (d, "a", e) => assert(e == 0L); d }.size <= 4)
+    assert(!f1.exists(_._2 == "c"), "unlisted sources are dropped")
+    // epoch cap: a tiny source cannot explode past maxEpochs copies
+    val capped = SampleOps.mixtureSample(docs, Map("b" -> 1.0),
+        totalDocs = 1000, idCol = "doc_id", maxEpochs = 3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(capped == Map(5L -> 3L, 6L -> 3L))
+  }
+
   test("applySelfNgram drops boilerplate-heavy docs at the ratio threshold") {
     // from the selfgram spec corpus: docs 1/2 have ratio 0.5, docs 3/4 have 0
     val docs = Seq(
