@@ -366,9 +366,13 @@ object DedupOps {
     * made entirely of cross-document boilerplate, lower values cut
     * deeper). Returns the surviving documents with their original
     * columns. One semi-reduction: the scorer's thin output filters to a
-    * drop set (small by construction for any useful threshold) and the
-    * corpus anti-joins against it — the corpus itself is never shuffled,
-    * same discipline as [[applyClusters]]. */
+    * doc_id-only drop set and the corpus anti-joins against it. Unlike
+    * [[applyClusters]]' non-keeper set (tiny by construction), an
+    * aggressive boilerplate threshold can drop a real fraction of the
+    * corpus — the drop column is still just a long per dropped doc, so
+    * AQE broadcasts it when small and otherwise falls back to one
+    * doc_id-keyed shuffled anti-join (the corpus moves at most once, on
+    * its own key). */
   def applySelfNgram(documents: DataFrame, n: Int = 8, minDf: Long = 2L,
       maxRatio: Double = 1.0): DataFrame = {
     val drop = selfNgramDedup(documents, n, minDf)
