@@ -597,6 +597,13 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionScores(tbl(s, dir, "documents"), n = 2)),
+    "text_quality_filter" -> ((s, dir) =>
+      // the fused one-scan cleaning pass: every gate chosen to bite on
+      // this corpus (331/472/392/362 of 500 pass individually, 146 all)
+      TextOps.qualityFilter(tbl(s, dir, "documents"), minTokens = 40,
+          maxStopRatio = 0.1, maxRepetition = 0.05, keepLangs = Seq("en", "es"))
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+          col("repetition"), col("predicted_lang"))),
     "text_redact" -> ((s, dir) => {
       // inject deterministic PII so the scrub has something to prove (the
       // synthetic corpus contains none); the oracle injects identically
@@ -1461,6 +1468,27 @@ object SparkEntry {
          |        generate_subscripts(string_split(text,' '), 1) AS pos
          |      FROM documents)
          |GROUP BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, w -> w IN ('a','the'))) AS DOUBLE)
+        |    / len(toks) AS stopword_ratio,
+        |  round(1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, GREATEST(len(toks)-1, 1)),
+        |      i -> CASE WHEN len(toks) >= 2 THEN array_to_string(list_slice(toks, i, i+1), ' ')
+        |                ELSE array_to_string(toks, ' ') END))) AS DOUBLE)
+        |    / GREATEST(len(toks)-1, 1), 6) AS repetition,
+        |  CASE WHEN len(list_filter(toks, w -> w = 'data')) >
+        |         GREATEST(len(list_filter(toks, w -> w = 'the')),
+        |                  len(list_filter(toks, w -> w = 'a'))) THEN 'de'
+        |       WHEN len(list_filter(toks, w -> w = 'a')) >
+        |         len(list_filter(toks, w -> w = 'the')) THEN 'es'
+        |       ELSE 'en' END AS predicted_lang
+        |FROM t)
+        |SELECT doc_id, n_tokens, stopword_ratio, repetition, predicted_lang
+        |FROM s WHERE n_tokens >= 40 AND stopword_ratio <= 0.1
+        |  AND repetition <= 0.05 AND predicted_lang IN ('en','es')""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, lang AS actual_lang,
         | CAST(len(list_filter(string_split(text,' '), w -> w = 'the')) AS BIGINT) AS n_en,

@@ -283,6 +283,54 @@ object TextOps {
       .withColumn("agrees", col("predicted_lang") === col("actual_lang"))
   }
 
+  /** One-scan C4/Gopher-style quality FILTER — the composition a cleaning
+    * pipeline actually runs: token count, stopword ratio, repeated-bigram
+    * fraction and marker-based language-ID are computed together as pure
+    * Catalyst expressions over the SAME bound token array in ONE
+    * projection over ONE corpus scan (never a join of the per-signal
+    * DataFrames — that shape re-scans the corpus once per signal), then a
+    * narrow filter keeps the documents passing every gate. Survivors come
+    * back with their signal columns so the next stage reads the decided
+    * values instead of recomputing them. Signal semantics are exactly
+    * [[tokenCounts]]/[[qualityScores]]/[[repetitionScores]]/[[langId]]'s
+    * (same expressions, same rounding), so the gates compose with the
+    * standalone scorers' numbers. `keepLangs` empty = no language gate. */
+  def qualityFilter(documents: DataFrame, minTokens: Long = 5,
+      maxStopRatio: Double = 0.5, maxRepetition: Double = 0.5,
+      keepLangs: Seq[String] = Nil,
+      stopwords: Seq[String] = Seq("a", "the"),
+      markers: Seq[(String, String)] = Seq("the" -> "en", "a" -> "es", "data" -> "de")): DataFrame = {
+    val toks = col("_toks")
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+    val repetition =
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+    val langCounts: Seq[(String, Column)] = markers.map { case (m, lang) =>
+      lang -> size(filter(toks, t => t === m)).cast("long")
+    }
+    val predictedLang = langCounts.tail.foldLeft(
+      (lit(langCounts.head._1), langCounts.head._2)
+    ) { case ((bl, bc), (lang, c)) =>
+      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }._1
+    val langOk =
+      if (keepLangs.isEmpty) lit(true) else col("predicted_lang").isin(keepLangs: _*)
+    documents
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n_tokens", nTok)
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+      .withColumn("repetition", repetition)
+      .withColumn("predicted_lang", predictedLang)
+      .drop("_toks")
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopRatio &&
+        col("repetition") <= maxRepetition && langOk)
+  }
+
   /** Non-empty consecutive token pairs of a text column as "w1 w2"
     * strings — the bigram stream of [[lmScore]]. */
   private def bigramsOf(text: Column): Column = {

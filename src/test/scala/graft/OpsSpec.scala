@@ -352,6 +352,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spans.map(_._4).distinct == Seq(2L), "df counts each doc once")
   }
 
+  test("qualityFilter gates match the standalone scorers' numbers") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "x y z w v u t s", "en"),          // clean, long enough
+      (2L, "x y", "en"),                      // too short
+      (3L, "the a the a the a the a", "en"),  // stopword-heavy + es-predicted
+      (4L, "p q p q p q p q p q", "en"),      // repetitive bigrams
+    ).toDF("doc_id", "text", "lang")
+    val kept = TextOps.qualityFilter(docs, minTokens = 5, maxStopRatio = 0.4,
+        maxRepetition = 0.5, keepLangs = Seq("en"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // signal parity with the standalone scorers on the survivors
+    val row = TextOps.qualityFilter(docs, minTokens = 1,
+        maxStopRatio = 1.0, maxRepetition = 1.0)
+      .filter($"doc_id" === 4L)
+      .select("n_tokens", "stopword_ratio", "repetition").head()
+    val q = TextOps.qualityScores(docs).filter($"doc_id" === 4L)
+      .select("n_tokens", "stopword_ratio").head()
+    val r = TextOps.repetitionScores(docs, n = 2).filter($"doc_id" === 4L)
+      .select("repetition").head()
+    assert(row.getLong(0) == q.getLong(0) &&
+      row.getDouble(1) == q.getDouble(1) && row.getDouble(2) == r.getDouble(0))
+  }
+
   test("mixtureSample hits whole-epoch targets exactly and fractional ones deterministically") {
     import graft.ops.SampleOps
     val docs = ((1L to 4L).map(i => (i, "a")) ++ (5L to 6L).map(i => (i, "b")) ++
