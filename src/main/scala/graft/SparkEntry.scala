@@ -286,6 +286,13 @@ object SparkEntry {
       val pipe = KgPipeline.analytics(s)
       graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
     }),
+    "kg_degree_hist" -> ((s, dir) => {
+      // graph-shape QA over the production fused triple path: out-degree
+      // distribution (two map-side-combined hash aggs, hub-safe)
+      val pipe = KgPipeline.analytics(s)
+      val (_, _, t) = pipe.runFused(kgDocs(s, dir))
+      graft.sinks.Tables.degreeHistogram(t.toDF())
+    }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
@@ -574,6 +581,10 @@ object SparkEntry {
       // quality filter shape); model capped + broadcast, one thin shuffle
       TextOps.lmScore(tbl(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "text_stats" -> ((s, dir) =>
+      // per-(source, lang) corpus profile: the report mixture shares and
+      // filter thresholds are chosen against; one scan, one dims-sized agg
+      TextOps.corpusStats(tbl(s, dir, "documents"))),
     "text_tokens_bpe" -> ((s, dir) => TextOps.bpeTokenCounts(tbl(s, dir, "documents"))),
     "text_bpe_encode" -> ((s, dir) => {
       // real BPE (VERDICT r4 #5): merge table learned from the corpus
@@ -622,6 +633,14 @@ object SparkEntry {
       graft.ops.SampleOps.stratifiedSample(tbl(s, dir, "documents"), "lang",
           Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1))
         .select(col("doc_id"), col("lang"))),
+    "sample_shuffle" -> ((s, dir) =>
+      // deterministic seeded global shuffle (epoch ordering): distributed
+      // prefix COUNT, never a single-partition row_number window
+      graft.ops.SampleOps.shuffleOrder(tbl(s, dir, "documents"))),
+    "sample_length_batches" -> ((s, dir) =>
+      // length-bucketed dynamic batching: grouped distributed prefix sum —
+      // a partition-by-bucket window would collapse parallelism to ~20
+      graft.ops.SampleOps.lengthBatches(tbl(s, dir, "documents"), batchSize = 8)),
     "sample_mixture" -> ((s, dir) =>
       // data-mixture composition (Pile/Dolma shape): 200-doc corpus at
       // 50/30/20 over three sources — upsamples at sf0.01 (25 docs/source
@@ -993,6 +1012,24 @@ object SparkEntry {
          | JOIN (SELECT DISTINCT doc_id, curie FROM m) b
          |   ON a.doc_id = b.doc_id AND a.curie < b.curie
          |GROUP BY a.curie, b.curie""".stripMargin,
+    "kg_degree_hist" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.pascal
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |tr AS (
+         |  SELECT DISTINCT curie AS subj FROM m
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id FROM m
+         |  UNION ALL
+         |  SELECT doc_id FROM (SELECT DISTINCT doc_id, curie FROM m)
+         |  UNION ALL
+         |  SELECT a.curie FROM
+         |   (SELECT DISTINCT doc_id, curie FROM m) a
+         |   JOIN (SELECT DISTINCT doc_id, curie FROM m) b
+         |     ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |   GROUP BY a.curie, b.curie),
+         |d AS (SELECT subj, count(*) AS degree FROM tr GROUP BY subj)
+         |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""".stripMargin,
     "kg_cooccurrence" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT d.doc_id, t.curie
@@ -1438,6 +1475,13 @@ object SparkEntry {
         |  round(SUM(lp), 6) AS log_prob,
         |  round(SUM(lp) / count(*), 6) AS avg_log_prob
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  round(CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / count(*), 6)
+        |    AS avg_tokens
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
@@ -1558,6 +1602,24 @@ object SparkEntry {
         |      WHEN ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 10000 < 9000 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+    // the oracle IS the partition-by-bucket global window the scale path avoids
+    "sample_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+        |    CAST(row_number() OVER (PARTITION BY length(bin(n_tokens))
+        |      ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM t)
+        |SELECT doc_id, n_tokens, bucket, pos, pos // 8 AS batch FROM r""".stripMargin,
     "sample_mixture" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

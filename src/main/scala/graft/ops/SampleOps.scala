@@ -203,6 +203,107 @@ object SampleOps {
         (col("_until") - col("_from")).as("take_tokens"))
   }
 
+  /** Deterministic seeded GLOBAL SHUFFLE of the training order — every
+    * epoch of LLM pretraining starts with one. Returns `(doc_id, pos)`
+    * where `pos` is the document's 0-based position in the shuffled
+    * order, defined purely by content: sort key = the seeded 56-bit md5
+    * hash of the id (ties broken by id), so the permutation is stable
+    * across runs, engines, cluster sizes and input layouts — rerunning
+    * the job resumes the SAME order, which is what makes mid-epoch
+    * checkpoint recovery deterministic.
+    *
+    * Scale shape: the same distributed prefix machinery as
+    * [[packSequences]], applied to row COUNTS instead of token sums — a
+    * bare `row_number() over (order by key)` would funnel 100 TB through
+    * one partition. Range-partition by the hash key (uniform by
+    * construction, so ranges balance regardless of id skew),
+    * per-partition counts (one row each), a partition-count-sized window
+    * for the base positions, broadcast them back, and number rows
+    * per-partition. Both branches are pure Catalyst, so AQE reuses the
+    * range exchange and the input is scanned once. */
+  def shuffleOrder(df: DataFrame, seed: String = "graft",
+      numPartitions: Int = 0, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokenHash(concat(col(idCol).cast("string"), lit(seed))).as("_k"))
+      .repartitionByRange(p, col("_k"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val bases = keyed.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(
+        sum(col("_n")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    keyed.join(broadcast(bases), Seq("_pid"))
+      .withColumn("pos", col("_base") +
+        row_number().over(Window.partitionBy("_pid").orderBy("_k", "doc_id"))
+          .cast("long") - 1L)
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Length-bucketed dynamic batching — the padding-efficiency shape for
+    * variable-length training/inference: documents land in power-of-two
+    * token-length buckets (`bucket` = bit length of `n_tokens`, so
+    * lengths 8–15 share bucket 4), are deterministically shuffled WITHIN
+    * their bucket (seeded hash order, like [[shuffleOrder]]), and cut
+    * into fixed-count batches — `batch` = position-in-bucket div
+    * `batchSize`. Batching similar lengths together bounds padding waste
+    * at 2× worst-case per batch instead of max-doc-length.
+    *
+    * Output: `(doc_id, n_tokens, bucket, pos, batch)` with `pos` the
+    * 0-based shuffled position within the bucket.
+    *
+    * Scale shape: the grouped form of the distributed prefix sum — NOT a
+    * `row_number() over (partition by bucket ...)` window, which would
+    * hash ALL of a bucket's rows into one partition (a handful of
+    * power-of-two buckets ⇒ parallelism collapses to ~20 and the modal
+    * bucket of a 100-TB corpus is terabytes). Instead range-partition by
+    * (bucket, key) so buckets span many partitions contiguously, compute
+    * per-(partition, bucket) counts (≤ partitions × buckets tiny rows),
+    * turn them into base positions with a window over that small frame,
+    * broadcast back, and number per-partition. */
+  def lengthBatches(documents: DataFrame, batchSize: Int,
+      seed: String = "graft", numPartitions: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = documents
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        TextOps.tokenHash(concat(col(idCol).cast("string"), lit(seed))).as("_k"))
+      // bit length = floor(log2)+1 in exact integer arithmetic (length of
+      // the binary rendering — identical in Spark and DuckDB, no float log)
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      // n_tokens as a TRAILING range key is a no-op for the order (doc_id
+      // is unique, so the prefix is already total) but makes it a
+      // partitioning column that column pruning cannot inline into the
+      // bucket expression on the partials branch — without it the two
+      // range-exchange subtrees canonicalize differently and AQE scans +
+      // tokenizes the corpus TWICE (measured, ScratchShufflePlan; a
+      // count("n_tokens") pin fails too: the optimizer rewrites
+      // non-null-column counts back to count(1) and pruning re-inlines)
+      .repartitionByRange(p, col("bucket"), col("_k"), col("doc_id"),
+        col("n_tokens"))
+      .withColumn("_pid", spark_partition_id())
+    val bases = keyed.groupBy("_pid", "bucket").agg(count(lit(1)).as("_n"))
+      .withColumn("_base", coalesce(
+        sum(col("_n")).over(Window.partitionBy("bucket").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("bucket"), col("_base"))
+    keyed.join(broadcast(bases), Seq("_pid", "bucket"))
+      .withColumn("pos", col("_base") +
+        row_number().over(Window.partitionBy("_pid", "bucket")
+          .orderBy("_k", "doc_id")).cast("long") - 1L)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"),
+        expr(s"pos DIV ${batchSize}L").as("batch"))
+  }
+
   /** Global token vocabulary: top-`k` whitespace tokens by document-
     * corpus frequency, ties broken lexicographically. One explode + one
     * map-side-combined hash aggregate + a TakeOrdered top-k — the

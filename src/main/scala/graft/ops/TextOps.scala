@@ -28,6 +28,23 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars"),
     )
 
+  /** Corpus profile: per-(source, lang) document/token/char totals and
+    * mean document length — the first report any mixture or filtering
+    * decision is made from (and the input [[graft.ops.SampleOps
+    * .mixtureSample]] shares are chosen against). ONE scan, one
+    * map-side-combined hash aggregate; the shuffle carries ≤
+    * |sources|×|langs| rows. The mean is a single division of exact long
+    * sums (IEEE-identical across engines), rounded to 6 places. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("_n"),
+        length(col("text")).cast("long").as("_c"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"),
+        sum("_c").as("n_chars"),
+        round(sum("_n").cast("double") / count(lit(1)), 6).as("avg_tokens"))
+
   /** BPE-style pre-tokenization count — the GPT-2-ish splitter shape
     * (letter runs, digit runs, punctuation runs, each with an optional
     * leading space; no lookarounds, so the pattern is portable between

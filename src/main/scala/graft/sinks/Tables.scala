@@ -140,6 +140,22 @@ object Tables {
       .withColumn("present_in_knowledge_graph", lit(true))
       .withColumn("is_relationship", col("kind") === "edge")
   }
+
+  /** Out-degree distribution over a triple set — the graph-shape QA
+    * companion to [[schemaInfo]] (the reference's `summary()` reports
+    * what labels exist; this reports how connectivity is distributed —
+    * the first thing to look at before deciding whether a downstream
+    * graph join needs skew handling). `(degree, n_nodes)`: how many
+    * subjects emit exactly `degree` triples.
+    *
+    * Scale shape: two hash aggregates, both map-side combined — the first
+    * shuffle carries one row per distinct subject, the second one row per
+    * distinct degree (≤ a few hundred). No window, no collect; a hub
+    * subject is just a large combiner count, never a large group in
+    * memory. */
+  def degreeHistogram(triples: DataFrame, subjCol: String = "subj"): DataFrame =
+    triples.groupBy(col(subjCol)).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 }
 
 /** N-Triples-style RDF serialization (reference: output/write/graph/

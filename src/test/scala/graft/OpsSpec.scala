@@ -455,4 +455,57 @@ class OpsSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(lsh == Set((1L, 2L)) && lsh.subsetOf(truth))
   }
+
+  test("shuffleOrder: a seeded permutation, partition-count independent") {
+    import graft.ops.SampleOps
+    val docs = (0L until 300L).map(i => (i, s"t $i")).toDF("doc_id", "text")
+    val out = SampleOps.shuffleOrder(docs).as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == (0L until 300L), "positions form 0..n-1")
+    assert(out.exists { case (id, pos) => id != pos }, "order is actually permuted")
+    // the distributed prefix count must not depend on partition boundaries
+    val one = SampleOps.shuffleOrder(docs, numPartitions = 1).collect().toSet
+    val seven = SampleOps.shuffleOrder(docs, numPartitions = 7).collect().toSet
+    assert(one == seven)
+    // a different seed is a different permutation; the same seed reproduces
+    val again = SampleOps.shuffleOrder(docs).as[(Long, Long)].collect()
+    val other = SampleOps.shuffleOrder(docs, seed = "other").as[(Long, Long)].collect()
+    assert(again.toMap == out.toMap && other.toMap != out.toMap)
+  }
+
+  test("lengthBatches: bit-length buckets, dense positions, batches cut at size") {
+    import graft.ops.SampleOps
+    val docs = (0L until 200L).map(i => (i, ("w " * (i % 23 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = SampleOps.lengthBatches(docs, batchSize = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (_, n, b, _, _) =>
+      assert(b == java.lang.Long.toBinaryString(n).length, s"bucket of $n") }
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      val positions = rows.map(_._4).sorted.toSeq
+      assert(positions == (0L until rows.length.toLong), s"bucket $b positions dense")
+      rows.foreach { case (_, _, _, pos, batch) => assert(batch == pos / 8) }
+    }
+    val one = SampleOps.lengthBatches(docs, 8, numPartitions = 1).collect().toSet
+    val seven = SampleOps.lengthBatches(docs, 8, numPartitions = 7).collect().toSet
+    assert(one == seven)
+  }
+
+  test("corpusStats aggregates per (source, lang)") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (0L, "a b c", "en", "s0"), (1L, "d e", "en", "s0"), (2L, "x", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.corpusStats(docs).orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s0", "en", 2L, 5L, 8L, 2.5), ("s1", "de", 1L, 1L, 1L, 1.0)))
+  }
+
+  test("degreeHistogram counts subjects by out-degree") {
+    val triples = Seq(
+      ("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"), ("c", "p", "x"),
+      ("c", "q", "y"), ("c", "q", "z")).toDF("subj", "pred", "obj")
+    val out = graft.sinks.Tables.degreeHistogram(triples)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
