@@ -293,6 +293,14 @@ object SparkEntry {
       val (_, _, t) = pipe.runFused(kgDocs(s, dir))
       graft.sinks.Tables.degreeHistogram(t.toDF())
     }),
+    "kg_pagerank" -> ((s, dir) => {
+      // entity centrality over the co-occurrence graph: 3 integer
+      // fixed-point power iterations; the rank table is dictionary-bounded
+      // so every iteration is a broadcast join — zero shuffled joins
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      graft.ops.GraphOps.pageRank(pairs)
+    }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
@@ -1037,6 +1045,40 @@ object SparkEntry {
          |SELECT a.curie AS src, b.curie AS tgt, count(*) AS n_docs
          |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
          |GROUP BY a.curie, b.curie""".stripMargin,
+    // integer fixed-point power iteration replayed as three chained CTEs —
+    // every step is integral division + BIGINT sums, so DuckDB reproduces
+    // the Spark result bit-exactly (see GraphOps.pageRank)
+    "kg_pagerank" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS s, b.curie AS t2
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS u, t2 AS v FROM e0 UNION ALL SELECT t2 AS u, s AS v FROM e0),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, deg,
+         |         (15 * (1000000000000 // n)) // 100 AS base,
+         |         1000000000000 // n AS rank
+         |       FROM deg CROSS JOIN (SELECT count(*) AS n FROM deg)),
+         |r1 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r0 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r0 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node),
+         |r2 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r1 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r1 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node),
+         |r3 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r2 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r2 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node)
+         |SELECT node, CAST(deg AS BIGINT) AS degree, CAST(rank AS BIGINT) AS rank
+         |FROM r3""".stripMargin,
     "kg_schema_info" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the KG edge list.
+  *
+  * The reference stops at handing the finished graph to downstream tools
+  * (biocypher/output/in_memory/_networkx.py:15 builds a `networkx.DiGraph`
+  * precisely so notebooks can run centrality on it); at 100 TB that
+  * hand-off is impossible, so the engine provides the first downstream
+  * analytics step — PageRank centrality — as a distributed op.
+  *
+  * Everything is INTEGER fixed-point: ranks live on a budget of `scale`
+  * units spread over the node set, every step is integral division plus
+  * BIGINT sums, so the result is bit-exact across engines, partitionings
+  * and aggregation orders. A floating-point power iteration is not —
+  * FP addition is non-associative, so the shuffle's reduce order would
+  * change low bits run-to-run and break any exact comparison (the same
+  * discipline as the quantized-cosine ANN family).
+  */
+object GraphOps {
+
+  /** Integer fixed-point PageRank over an undirected edge list.
+    *
+    * Input: one row per unordered edge `(srcCol, tgtCol)` (e.g. the
+    * co-occurrence pairs, where `src < tgt`). The walk runs on the
+    * symmetrized graph — each edge contributes mass in both directions and
+    * out-degree = node degree. Isolated nodes never appear (no edge row),
+    * so the node set is exactly the incident-node set, matching the
+    * co-occurrence graph semantics.
+    *
+    * Semantics (all integral, `div` = truncating division on non-negatives):
+    * {{{
+    *   unit     = scale div N
+    *   base     = ((100 - dampingPct) * unit) div 100
+    *   r0(v)    = unit
+    *   r_k+1(v) = base + (dampingPct * SUM_{u~v} (r_k(u) div deg(u))) div 100
+    * }}}
+    *
+    * 100-TB shape: the rank table is O(|V|) — two longs per node. On the
+    * KG path |V| is dictionary-bounded, so each iteration BROADCASTS the
+    * rank table against the barriered edge list: zero shuffled joins, one
+    * small hash agg per step. For a graph whose node table cannot be
+    * broadcast, pass `hugeGraph = true`: the edge list is hash-partitioned
+    * by source ONCE and barriered (reliable checkpoint when a checkpoint
+    * dir is configured, local blocks otherwise — the same policy as
+    * `Pipeline.triplesFromSets`), and each iteration is one co-partitioned
+    * shuffle join plus one aggregate by target — the classic Pregel
+    * schedule, O(iterations) stages with no lineage blow-up because the
+    * edge side is a checkpointed leaf.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src", tgtCol: String = "tgt",
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L, hugeGraph: Boolean = false): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
+    require(scale > 0, s"scale must be positive: $scale")
+    val spark = edges.sparkSession
+    val und0 = edges
+      .select(col(srcCol).cast("string").as("u"), col(tgtCol).cast("string").as("v"))
+      .union(edges
+        .select(col(tgtCol).cast("string").as("u"), col(srcCol).cast("string").as("v")))
+    // Every iteration re-reads the edge list; barrier it so the upstream
+    // pipeline (e.g. the mention scan) runs once, not `iterations` times.
+    val prePart = if (hugeGraph) und0.repartition(col("u")) else und0
+    val und =
+      if (spark.sparkContext.getCheckpointDir.isDefined
+          && spark.conf.get("spark.graft.barrier", "auto") != "local")
+        prePart.checkpoint(false)
+      else prePart.localCheckpoint(false)
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // Node count folded in as a lazy 1-row broadcast cross join — no eager
+    // .count() action while building the plan (the lmScore lesson).
+    val nRow = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.crossJoin(nRow)
+      .withColumn("unit", expr(s"${scale}L div n"))
+      .select(col("node"), col("deg"),
+        expr(s"((100 - $dampingPct) * unit) div 100").as("base"),
+        col("unit").as("rank"))
+    for (_ <- 1 to iterations) {
+      val r = if (hugeGraph) ranks else broadcast(ranks)
+      val contrib = und
+        .join(r.select(col("node"), col("deg"), col("rank")), col("u") === col("node"))
+        .groupBy(col("v"))
+        .agg(sum(expr("rank div deg")).as("contrib"))
+      // contrib is one row per node — broadcast it on the bounded-|V| path
+      // so the rank update never shuffles; hugeGraph keeps the shuffle join
+      val contribSide = if (hugeGraph) contrib else broadcast(contrib)
+      ranks = ranks.drop("rank")
+        .join(contribSide, col("node") === col("v"), "left")
+        .select(col("node"), col("deg"), col("base"),
+          (col("base") +
+            expr(s"($dampingPct * coalesce(contrib, 0L)) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("deg").as("degree"), col("rank"))
+  }
+}

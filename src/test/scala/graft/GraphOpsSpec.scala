@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.GraphOps
+
+/** Hand-computed integer-PageRank contract: the fixed-point arithmetic is
+  * part of the operator's public semantics (it is what makes the result
+  * engine-exact), so the expected values below are worked by hand from the
+  * definition in [[GraphOps.pageRank]]'s Scaladoc.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def edges(pairs: (String, String)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("src", "tgt")
+  }
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("iterations=0 gives the uniform distribution, unit = scale div N") {
+    val r = rankMap(GraphOps.pageRank(edges("a" -> "b", "b" -> "c"), iterations = 0))
+    // N=3, unit = 10^12 div 3
+    assert(r.keySet == Set("a", "b", "c"))
+    assert(r.values.map(_._2).toSet == Set(333333333333L))
+    assert(r("b")._1 == 2 && r("a")._1 == 1 && r("c")._1 == 1)
+  }
+
+  test("symmetric graph: all ranks stay equal; mass is conserved to truncation") {
+    // triangle: deg 2 everywhere. r1 = 49999999999 + (85 * 333333333332) div 100
+    val r = rankMap(GraphOps.pageRank(
+      edges("a" -> "b", "a" -> "c", "b" -> "c"), iterations = 3))
+    assert(r.values.map(_._2).toSet.size == 1)
+    val total = r.values.map(_._2).sum
+    assert(total <= 1000000000000L && total > 999999999000L,
+      s"mass not conserved: $total")
+  }
+
+  test("path graph a-b-c after one iteration matches the hand calculation") {
+    val r = rankMap(GraphOps.pageRank(edges("a" -> "b", "b" -> "c"), iterations = 1))
+    // unit = 333333333333, base = (15 * unit) div 100 = 49999999999
+    // contrib(a) = r(b) div 2 = 166666666666
+    //   r1(a) = base + (85 * 166666666666) div 100 = 49999999999 + 141666666666
+    // contrib(b) = r(a) + r(c) = 666666666666
+    //   r1(b) = base + (85 * 666666666666) div 100 = 49999999999 + 566666666666
+    assert(r("a")._2 == 191666666665L)
+    assert(r("c")._2 == 191666666665L)
+    assert(r("b")._2 == 616666666665L)
+  }
+
+  test("hugeGraph (shuffle-join Pregel) path is bit-identical to the broadcast path") {
+    val es = edges("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "d", "d" -> "e")
+    val small = rankMap(GraphOps.pageRank(es, iterations = 3))
+    val huge = rankMap(GraphOps.pageRank(es, iterations = 3, hugeGraph = true))
+    assert(small == huge)
+  }
+
+  test("hub node outranks leaves") {
+    val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
+    val r = rankMap(GraphOps.pageRank(star, iterations = 3))
+    assert(r("hub")._2 > r("l1")._2)
+    assert(Set("l1", "l2", "l3", "l4").map(r(_)._2).size == 1)
+  }
+}
