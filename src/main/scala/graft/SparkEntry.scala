@@ -301,6 +301,14 @@ object SparkEntry {
       val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
       graft.ops.GraphOps.pageRank(pairs)
     }),
+    "kg_neighbors_topk" -> ((s, dir) => {
+      // "related entities": per-entity top-3 co-occurrence neighbors,
+      // deterministic tie-break on the neighbor id; one bounded-partition
+      // window over the tiny pair aggregate
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      graft.ops.GraphOps.topNeighbors(pairs, k = 3)
+    }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
@@ -1045,6 +1053,23 @@ object SparkEntry {
          |SELECT a.curie AS src, b.curie AS tgt, count(*) AS n_docs
          |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
          |GROUP BY a.curie, b.curie""".stripMargin,
+    "kg_neighbors_topk" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS s, b.curie AS t2, count(*) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS node, t2 AS neighbor, n_docs FROM e0
+         |      UNION ALL SELECT t2, s, n_docs FROM e0),
+         |r AS (SELECT node, neighbor, n_docs,
+         |        ROW_NUMBER() OVER (PARTITION BY node
+         |                           ORDER BY n_docs DESC, neighbor) AS rn
+         |      FROM e)
+         |SELECT node, neighbor, CAST(n_docs AS BIGINT) AS weight,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3""".stripMargin,
     // integer fixed-point power iteration replayed as three chained CTEs —
     // every step is integral division + BIGINT sums, so DuckDB reproduces
     // the Spark result bit-exactly (see GraphOps.pageRank)

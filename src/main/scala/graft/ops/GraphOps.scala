@@ -95,4 +95,29 @@ object GraphOps {
     }
     ranks.select(col("node"), col("deg").as("degree"), col("rank"))
   }
+
+  /** Per-entity top-k strongest neighbors — the "related entities"
+    * exploration query over the weighted co-occurrence graph. Ties break
+    * on the neighbor id so the result is total-order deterministic (an
+    * unordered tie under `row_number` would be engine-dependent).
+    *
+    * Shape: symmetrize, then ONE hash exchange on the node id feeding a
+    * running `row_number` — the per-node partition is bounded by |dict|
+    * (an entity has at most |dict|-1 neighbors), so a hub entity is a
+    * bounded sort, never a skew risk; the corpus itself never moves
+    * (the edge list is already the tiny pair aggregate). */
+  def topNeighbors(edges: DataFrame, k: Int, srcCol: String = "src",
+      tgtCol: String = "tgt", weightCol: String = "n_docs"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = col(weightCol)
+    val und = edges
+      .select(col(srcCol).as("node"), col(tgtCol).as("neighbor"), w)
+      .union(edges.select(col(tgtCol).as("node"), col(srcCol).as("neighbor"), w))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(w.desc, col("neighbor").asc)
+    und.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("node"), col("neighbor"), w.cast("long").as("weight"),
+        col("rn").cast("long").as("rn"))
+  }
 }

@@ -59,6 +59,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(small == huge)
   }
 
+  test("topNeighbors: weight order, deterministic ties, k cut, symmetrized") {
+    val s = spark
+    import s.implicits._
+    val es = Seq(("a", "b", 5L), ("a", "c", 5L), ("a", "d", 9L), ("b", "c", 1L))
+      .toDF("src", "tgt", "n_docs")
+    val top = GraphOps.topNeighbors(es, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byNode = top.groupBy(_._1)
+    // a: d(9) first, then the 5-5 tie breaks to b over c; k=2 drops c
+    assert(byNode("a").sortBy(_._4).toSeq ==
+      Seq(("a", "d", 9L, 1L), ("a", "b", 5L, 2L)))
+    // d has exactly one (symmetrized) neighbor
+    assert(byNode("d").toSeq == Seq(("d", "a", 9L, 1L)))
+    // b sees both a (5) and c (1), in weight order
+    assert(byNode("b").sortBy(_._4).map(_._2).toSeq == Seq("a", "c"))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))
