@@ -309,6 +309,17 @@ object SparkEntry {
       val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
       graft.ops.GraphOps.topNeighbors(pairs, k = 3)
     }),
+    "kg_pmi_edges" -> ((s, dir) => {
+      // PMI edge confidence: integer fixed-point lift over the pair
+      // aggregate, both frequency sides broadcast. ONE detect pass shared
+      // by the pair builder and the df side (lazy localCheckpoint —
+      // blocks are ContextCleaner-freed; contiguity preserved, no shuffle)
+      val pipe = KgPipeline.analytics(s)
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
+      val pairs = graft.extract.Mentions.cooccurrencePairsFromDocMentions(dm)
+      graft.ops.GraphOps.pmiEdges(pairs,
+        dm.toDF().select(col("doc_id"), col("curie")))
+    }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
@@ -1070,6 +1081,25 @@ object SparkEntry {
          |SELECT node, neighbor, CAST(n_docs AS BIGINT) AS weight,
          |       CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3""".stripMargin,
+    // lift_ppm = (n_ab * N * 1e6) div (df_a * df_b): truncating integer
+    // fixed-point, HUGEINT on the DuckDB side mirrors Spark's decimal(38,0)
+    "kg_pmi_edges" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS src, b.curie AS tgt, count(*) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |f AS (SELECT curie, count(*) AS df FROM m GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM m)
+         |SELECT e0.src, e0.tgt, CAST(e0.n_docs AS BIGINT) AS n_docs,
+         |       CAST(a.df AS BIGINT) AS df_src, CAST(b.df AS BIGINT) AS df_tgt,
+         |       CAST(n.n_total AS BIGINT) AS n_total,
+         |       CAST((CAST(e0.n_docs AS HUGEINT) * n.n_total * 1000000)
+         |            // (CAST(a.df AS HUGEINT) * b.df) AS BIGINT) AS lift_ppm
+         |FROM e0 JOIN f a ON a.curie = e0.src JOIN f b ON b.curie = e0.tgt
+         |CROSS JOIN n""".stripMargin,
     // integer fixed-point power iteration replayed as three chained CTEs —
     // every step is integral division + BIGINT sums, so DuckDB reproduces
     // the Spark result bit-exactly (see GraphOps.pageRank)

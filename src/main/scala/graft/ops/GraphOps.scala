@@ -120,4 +120,56 @@ object GraphOps {
       .select(col("node"), col("neighbor"), w.cast("long").as("weight"),
         col("rn").cast("long").as("rn"))
   }
+
+  /** PMI edge weighting over the co-occurrence graph — the association
+    * score that separates "co-occurs because both are everywhere" (hub ×
+    * hub) from "co-occurs because they are related" (the standard
+    * KG-edge-confidence step downstream of mention co-occurrence).
+    *
+    * `PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) = ln(n_ab·N / (df_a·df_b))`.
+    * Keeping the house integer-exact discipline, the LIFT (the log's
+    * argument) is emitted as truncating fixed-point parts-per-`ppmScale`:
+    * `lift_ppm = (n_ab·N·ppmScale) div (df_a·df_b)` — ln is monotone, so
+    * every ranking/thresholding use of PMI is preserved while the value
+    * stays bit-exact across engines (no libm in the comparison surface).
+    * `lift_ppm > ppmScale` ⇔ PMI > 0 (positive association). The raw
+    * counts ride along so a consumer can take real logs at the edge.
+    *
+    * Inputs must come from the SAME mention pass: `edges` = the pair
+    * aggregate (src < tgt, n_docs), `mentions` = (doc_id, curie) one row
+    * per mentioned entity per doc. N = distinct mentioned docs (the event
+    * space of the pair counts — a doc with no mention can't co-occur).
+    *
+    * 100-TB shape: df is a map-side-combined count whose output is
+    * dictionary-bounded → both frequency joins BROADCAST; N folds in as a
+    * lazy 1-row cross join (no eager action — the lmScore lesson); the
+    * only corpus-sized work is the thin distinct over doc ids, and the
+    * edge list itself never shuffles. Arithmetic runs in decimal(38,0):
+    * at N = 10^12 the numerator peaks at 10^30 (fits), and the emitted
+    * quotient is ≤ N·ppmScale = 10^18 (fits BIGINT). */
+  def pmiEdges(edges: DataFrame, mentions: DataFrame, ppmScale: Long = 1000000L,
+      srcCol: String = "src", tgtCol: String = "tgt",
+      weightCol: String = "n_docs", docCol: String = "doc_id",
+      entityCol: String = "curie"): DataFrame = {
+    require(ppmScale > 0, s"ppmScale must be positive: $ppmScale")
+    val df = mentions.groupBy(col(entityCol).as("_e"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+    val nRow = broadcast(
+      mentions.agg(count_distinct(col(docCol)).cast("long").as("n_total")))
+    edges
+      .select(col(srcCol).as("src"), col(tgtCol).as("tgt"),
+        col(weightCol).cast("long").as("n_docs"))
+      .join(broadcast(df), col("src") === col("_e")).drop("_e")
+      .withColumnRenamed("_df", "df_src")
+      .join(broadcast(df), col("tgt") === col("_e")).drop("_e")
+      .withColumnRenamed("_df", "df_tgt")
+      .crossJoin(nRow)
+      .withColumn("lift_ppm", expr(
+        s"""(cast(n_docs as decimal(20,0)) * cast(n_total as decimal(20,0))
+           | * ${ppmScale}L) div
+           | (cast(df_src as decimal(20,0)) * cast(df_tgt as decimal(20,0)))
+           |""".stripMargin.replace("\n", " ")))
+      .select(col("src"), col("tgt"), col("n_docs"), col("df_src"),
+        col("df_tgt"), col("n_total"), col("lift_ppm"))
+  }
 }

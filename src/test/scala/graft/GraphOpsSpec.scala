@@ -76,6 +76,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(byNode("b").sortBy(_._4).map(_._2).toSeq == Seq("a", "c"))
   }
 
+  test("pmiEdges: hand-computed lift, exact truncation, count carry-through") {
+    val s = spark
+    import s.implicits._
+    // docs: d1{a,b} d2{a,b} d3{a,c} d4{b} -> df a=3 b=3 c=1, N=4
+    val mentions = Seq(
+      ("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+      ("d3", "a"), ("d3", "c"), ("d4", "b")).toDF("doc_id", "curie")
+    val es = Seq(("a", "b", 2L), ("a", "c", 1L)).toDF("src", "tgt", "n_docs")
+    val out = GraphOps.pmiEdges(es, mentions).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // lift(a,b) = 2*4*1e6 div 9 = 888888 (sub-unit: hub pair, PMI < 0)
+    assert(out(("a", "b")) == ((2L, 3L, 3L, 4L, 888888L)))
+    // lift(a,c) = 1*4*1e6 div 3 = 1333333 (> 1e6: positive association)
+    assert(out(("a", "c")) == ((1L, 3L, 1L, 4L, 1333333L)))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))
