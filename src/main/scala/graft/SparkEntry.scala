@@ -788,6 +788,14 @@ object SparkEntry {
       // two-table recall repair over disjoint dimension slices; superset of
       // dedup_embedding's single-table pairs
       AnnOps.cosineNearDupPairsMulti(tbl(s, dir, "embeddings"), minCos = 0.3, tables = 2)),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: cluster-then-compare — pairs proposed within the shared
+      // TRAINED IVF cells (same centroids as the ann_ivf_* family, trained
+      // once per corpus), scored with the same quantized cosine and demo
+      // threshold as dedup_embedding; keepers compose downstream via
+      // dedupClusters -> applyClusters exactly like the MinHash family
+      AnnOps.semanticNearDupPairs(tbl(s, dir, "embeddings"),
+        ivfCents(s, dir), minCos = 0.3)),
     "dedup_embedding_recall" -> ((s, dir) => {
       // recall of the sign-LSH near-dup paths vs the brute-force cosine
       // truth (VERDICT r7 #5), mirroring dedup_recall: one shared exact
@@ -1981,6 +1989,19 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.b = y.b AND x.vec_id < y.vec_id
         |WHERE round(list_dot_product(x.q,y.q) /
         |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) >= 0.3""".stripMargin,
+    // SemDeDup: the shared IVF k-means replay (ivfCtes -> trained
+    // assignment `asn`) proposes within-cell pairs; same quantized pairwise
+    // cosine as dedup_embedding; cells above the 256 cap are skipped
+    "dedup_semantic" ->
+      s"""WITH $ivfCtes,
+         |sz AS (SELECT cid FROM asn GROUP BY cid HAVING count(*) BETWEEN 2 AND 256),
+         |p AS (SELECT x.cid, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |        round(list_dot_product(x.q,y.q) /
+         |          (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) AS cosine
+         |      FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |      JOIN sz ON sz.cid = x.cid)
+         |SELECT CAST(cid AS INTEGER) AS ivf_cid, vec_a, vec_b, cosine
+         |FROM p WHERE cosine >= 0.3""".stripMargin,
     "dedup_embedding_mp" -> {
       def bucket(offset: Int): String = (0 until 8).map(j =>
         s"CASE WHEN embedding[${offset + j + 1}]>0 THEN ${1L << j} ELSE 0 END")

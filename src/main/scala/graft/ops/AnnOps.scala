@@ -319,7 +319,8 @@ object AnnOps {
     * list into ordered pairs, score with the codegen'd pairwise cosine,
     * filter at minCos. Expects a `vs` column of sorted (vec_id, embedding)
     * structs. */
-  private def scoredPairsFromBuckets(byBucket: DataFrame, minCos: Double): DataFrame = {
+  private def scoredPairsFromBuckets(byBucket: DataFrame, minCos: Double,
+      carryCol: Option[String] = None): DataFrame = {
     // the cosine is computed INSIDE the pair-generation lambda, so each
     // pair's score exists exactly once in the plan: scoring it in a select
     // above the Generate let predicate pushdown inline the (expensive)
@@ -331,15 +332,46 @@ object AnnOps {
         graft.functions.QuantizedCosinePair(
           org.apache.spark.sql.GraftColumnBridge.expression(a),
           org.apache.spark.sql.GraftColumnBridge.expression(b)))
-    byBucket.select(explode(flatten(transform(col("vs"), (x, i) =>
+    val carried = carryCol.map(col).toSeq
+    byBucket.select(carried :+ explode(flatten(transform(col("vs"), (x, i) =>
         transform(slice(col("vs"), i + 2, size(col("vs"))),
           y => struct(x.getField("vec_id").as("vec_a"),
             y.getField("vec_id").as("vec_b"),
             round(cosine(x.getField("embedding"), y.getField("embedding")), 6)
-              .as("cosine")))))).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-        col("p.cosine").as("cosine"))
+              .as("cosine")))))).as("p"): _*)
+      .select(carried ++ Seq(col("p.vec_a").as("vec_a"),
+        col("p.vec_b").as("vec_b"), col("p.cosine").as("cosine")): _*)
       .filter(col("cosine") >= minCos)
+  }
+
+  /** SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): candidates are proposed WITHIN a trained IVF
+    * k-means cell instead of within a sign bucket — cluster-then-compare,
+    * the semantic-dedup member of the dedup family. A cell groups vectors
+    * by GLOBAL similarity structure, so near-dups straddling a sign
+    * boundary (the [[cosineNearDupPairs]] misses) still land together as
+    * long as they share a nearest centroid; the trade moves to pairs
+    * straddling a CELL boundary — raise nList less aggressively than
+    * SemDeDup's ~100k-clusters recipe only if cells stay under
+    * `maxCluster`. Output: (ivf_cid, vec_a, vec_b, cosine), vec_a < vec_b.
+    *
+    * 100-TB shape: assignment is the same codegen'd argmax scan as the IVF
+    * index build (train once, pass `cents` — never per-query retraining);
+    * the per-cell pair explosion is bounded by `maxCluster` (cells above
+    * it are skipped, the standard cap discipline — at web scale nList
+    * scales with the corpus so E[cell] = corpus/nList stays bounded and
+    * the cap is the skew backstop, not the common case). Keepers for the
+    * cleaned corpus compose downstream exactly like the MinHash family:
+    * pairs → [[DedupOps.dedupClusters]] → [[DedupOps.applyClusters]]. */
+  def semanticNearDupPairs(embeddings: DataFrame,
+      cents: Array[(Int, Array[Long], Double)], minCos: Double = 0.99,
+      maxCluster: Int = 256): DataFrame = {
+    val byCell = ivfAssign(embeddings, cents)
+      .select(col("ivf_cid"), col("vec_id"), col("embedding"))
+      .groupBy(col("ivf_cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .filter(size(col("vs")).between(2, maxCluster))
+    scoredPairsFromBuckets(byCell, minCos, carryCol = Some("ivf_cid"))
   }
 
   /** Multi-table embedding near-dup pairs — the recall repair for

@@ -170,6 +170,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticNearDupPairs: within-cell pairs only, catches sign-straddling dups") {
+    // 1 and 2 are near-identical but straddle a sign boundary in dim 1 —
+    // sign-LSH misses them; both sit nearest the same trained centroid, so
+    // the SemDeDup cell proposes them. 3/4 form a second, distant cluster.
+    val emb = Seq(
+      (1L, "a", Seq(0.01f, 0.9f, 0.8f, 0.7f)),
+      (2L, "b", Seq(-0.01f, 0.9f, 0.8f, 0.7f)),
+      (3L, "c", Seq(-0.9f, -0.8f, 0.1f, -0.7f)),
+      (4L, "d", Seq(-0.9f, -0.8f, 0.1f, -0.6f)),
+    ).toDF("vec_id", "label", "embedding")
+    val cents = AnnOps.ivfTrainCentroids(emb, nList = 2, iters = 2)
+    val sem = AnnOps.semanticNearDupPairs(emb, cents, minCos = 0.9)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(sem.map(p => (p._2, p._3)).toSet == Set((1L, 2L), (3L, 4L)))
+    // every pair stays inside one cell, and the straddling pair is the
+    // one single-table sign-LSH structurally misses
+    val lsh = AnnOps.cosineNearDupPairs(emb, minCos = 0.9, nBits = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(!lsh.contains((1L, 2L)))
+  }
+
   test("multi-table near-dup pairs are a superset of single-table with higher recall") {
     // 1 and 2 are near-dups straddling a sign boundary in dims 1-4 (table 0
     // misses them) but sign-identical in dims 5-8 (table 1 catches them)
