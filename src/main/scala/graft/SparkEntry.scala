@@ -309,6 +309,14 @@ object SparkEntry {
       val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
       graft.ops.GraphOps.topNeighbors(pairs, k = 3)
     }),
+    "kg_triangles" -> ((s, dir) => {
+      // structural edge confidence: per-edge triangle support + integer
+      // fixed-point neighborhood Jaccard; the wedge join runs on the tiny
+      // pair aggregate (dict-bounded -> both joins broadcast)
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      graft.ops.GraphOps.triangleSupport(pairs)
+    }),
     "kg_pmi_edges" -> ((s, dir) => {
       // PMI edge confidence: integer fixed-point lift over the pair
       // aggregate, both frequency sides broadcast. ONE detect pass shared
@@ -608,6 +616,13 @@ object SparkEntry {
       // quality filter shape); model capped + broadcast, one thin shuffle
       TextOps.lmScore(tbl(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(tbl(s, dir, "documents"))),
+    "text_keywords" -> ((s, dir) =>
+      // per-doc top-3 distinctive tokens: df-filtered (common tokens out),
+      // integer-exact (tf desc, df asc, token) ranking — no floating
+      // tf-idf in the cut; the df join is the honest vocabulary-sized
+      // shuffle (a capped broadcast model would drop the rare tokens,
+      // which are the keywords)
+      TextOps.keywords(tbl(s, dir, "documents"), k = 3, maxDfPpm = 100000L)),
     "text_stats" -> ((s, dir) =>
       // per-(source, lang) corpus profile: the report mixture shares and
       // filter thresholds are chosen against; one scan, one dims-sized agg
@@ -1089,6 +1104,30 @@ object SparkEntry {
          |SELECT node, neighbor, CAST(n_docs AS BIGINT) AS weight,
          |       CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3""".stripMargin,
+    // per-edge triangle support: wedges (a,c)x(b,c) joined back onto the
+    // edge set; jaccard_ppm integral, 0 when the union is empty
+    "kg_triangles" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS src, b.curie AS tgt
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src AS u, tgt AS v FROM e0 UNION ALL SELECT tgt, src FROM e0),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+         |w AS (SELECT x.u AS a, y.u AS b, count(*) AS n_common
+         |      FROM e x JOIN e y ON x.v = y.v AND x.u < y.u GROUP BY 1, 2)
+         |SELECT e0.src, e0.tgt,
+         |  CAST(COALESCE(w.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(da.deg AS BIGINT) AS deg_src, CAST(db.deg AS BIGINT) AS deg_tgt,
+         |  CAST(da.deg + db.deg - 2 - COALESCE(w.n_common, 0) AS BIGINT) AS n_union,
+         |  CAST(CASE WHEN da.deg + db.deg - 2 - COALESCE(w.n_common, 0) <= 0 THEN 0
+         |       ELSE (COALESCE(w.n_common, 0) * 1000000)
+         |            // (da.deg + db.deg - 2 - COALESCE(w.n_common, 0)) END
+         |    AS BIGINT) AS jaccard_ppm
+         |FROM e0 LEFT JOIN w ON w.a = e0.src AND w.b = e0.tgt
+         |JOIN deg da ON da.node = e0.src JOIN deg db ON db.node = e0.tgt""".stripMargin,
     // lift_ppm = (n_ab * N * 1e6) div (df_a * df_b): truncating integer
     // fixed-point, HUGEINT on the DuckDB side mirrors Spark's decimal(38,0)
     "kg_pmi_edges" ->
@@ -1580,6 +1619,20 @@ object SparkEntry {
         |  round(SUM(lp), 6) AS log_prob,
         |  round(SUM(lp) / count(*), 6) AS avg_log_prob
         |FROM sc GROUP BY doc_id""".stripMargin,
+    "text_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |f AS (SELECT token, count(DISTINCT doc_id) AS df FROM tt GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, f.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, f.df ASC, tf.token) AS rn
+        |      FROM tf JOIN f USING (token) CROSS JOIN n
+        |      WHERE f.df * 1000000 <= 100000 * n.n_total)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
     "text_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,

@@ -414,4 +414,44 @@ object TextOps {
         round(sum(col("lp")), 6).as("log_prob"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_log_prob"))
   }
+
+  /** Per-document keyword extraction — top-`k` distinctive tokens: rank by
+    * in-doc term frequency AFTER dropping corpus-common tokens (document
+    * frequency above `maxDfPpm` parts-per-million of the corpus — the
+    * principled stop-word filter: df does idf's common-token suppression).
+    * Ranking is the INTEGER triple (tf desc, df asc — rarer wins ties,
+    * token asc) so the cut is engine-exact; a floating tf·ln(N/df) rank
+    * would let a 1-ulp libm divergence flip near-equal ranks across
+    * engines (the house integer-exact discipline; classic tf-idf's
+    * mathematically-equal-but-differently-computed scores, e.g.
+    * 2·ln(N/x) vs ln(N/x²), make that flip REACHABLE, not hypothetical).
+    * Output: (doc_id, token, tf, df, rn), rn 1..k.
+    *
+    * 100-TB shape: tf and df are map-side-combined aggregates; their join
+    * keys on the token — vocabulary-sized, NOT dictionary-bounded, so it
+    * is an honest shuffle hash join (a capped broadcast model would
+    * silently drop the RARE tokens, which are exactly the keywords —
+    * the opposite trade from lmScore's head-of-distribution model). The
+    * per-doc window is bounded by document length. N folds in lazily. */
+  def keywords(documents: DataFrame, k: Int = 3,
+      maxDfPpm: Long = 100000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = documents.select(col("doc_id"),
+      explode(filter(tokens(col("text")), x => x =!= "")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nRow = broadcast(documents.agg(count(lit(1)).as("n_total")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(nRow)
+      .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("n_total"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("rn").cast("long").as("rn"))
+  }
 }

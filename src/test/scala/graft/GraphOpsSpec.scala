@@ -94,6 +94,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out(("a", "c")) == ((1L, 3L, 1L, 4L, 1333333L)))
   }
 
+  test("triangleSupport: hand-computed common counts, union, fixed-point jaccard") {
+    val s = spark
+    import s.implicits._
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "tgt")
+    val out = GraphOps.triangleSupport(es).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // (a,b): common {c}; deg a=2 b=3; union = 1+2-1 = 2 -> 500000
+    assert(out(("a", "b")) == ((1L, 2L, 3L, 2L, 500000L)))
+    // (a,c): common {b}; union = 1+1-1 = 1 -> 1000000
+    assert(out(("a", "c")) == ((1L, 2L, 2L, 1L, 1000000L)))
+    // (b,d): no common; union = 2+0-0 = 2 -> 0
+    assert(out(("b", "d")) == ((0L, 3L, 1L, 2L, 0L)))
+  }
+
+  test("triangleSupport: isolated edge has empty union and jaccard 0") {
+    val s = spark
+    import s.implicits._
+    val out = GraphOps.triangleSupport(Seq(("x", "y")).toDF("src", "tgt"))
+      .collect().map(r => (r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 0L)))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))

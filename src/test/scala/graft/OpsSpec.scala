@@ -3,7 +3,7 @@ package graft
 import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{AnnOps, DedupOps}
+import graft.ops.{AnnOps, DedupOps, TextOps}
 
 /** Unit semantics of the round-2 dedup/ANN operators (the oracle gate
   * checks end-to-end parity; these pin the edge cases). */
@@ -509,6 +509,25 @@ class OpsSpec extends AnyFunSuite {
     val one = SampleOps.lengthBatches(docs, 8, numPartitions = 1).collect().toSet
     val seven = SampleOps.lengthBatches(docs, 8, numPartitions = 7).collect().toSet
     assert(one == seven)
+  }
+
+  test("keywords: df filter drops common tokens; integer (tf, df, token) ranking") {
+    val docs = Seq(
+      ("d1", "x x y common"),
+      ("d2", "y z common"),
+      ("d3", "common common"),
+    ).toDF("doc_id", "text")
+    // maxDfPpm 667000: df <= 2 of 3 docs kept -> "common" (df 3) is out
+    val kw = TextOps.keywords(docs, k = 2, maxDfPpm = 667000L)
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._5).toSeq }
+      .toMap
+    // d1: x (tf 2) first; y second
+    assert(kw("d1").map(r => (r._2, r._3, r._5)) == Seq(("x", 2L, 1L), ("y", 1L, 2L)))
+    // d2: tf tie at 1 -> rarer z (df 1) outranks y (df 2)
+    assert(kw("d2").map(r => (r._2, r._4, r._5)) == Seq(("z", 1L, 1L), ("y", 2L, 2L)))
+    // d3: only "common", filtered -> no rows at all
+    assert(!kw.contains("d3"))
   }
 
   test("corpusStats aggregates per (source, lang)") {
