@@ -832,6 +832,24 @@ object SparkEntry {
       }.reduce(_.union(_))
     }),
 
+    "dedup_semantic_recall" -> ((s, dir) => {
+      // SemDeDup recall vs the same brute truth as dedup_embedding_recall
+      // — completes the audit discipline: every approximate dedup family
+      // has a measured recall row (cluster-scoped proposal catches the
+      // sign-straddling pairs the LSH tables miss; quantified here)
+      val emb = tbl(s, dir, "embeddings")
+      val truth = AnnOps.cosinePairsBrute(emb, minCos = 0.3)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint(false)
+      val got = AnnOps.semanticNearDupPairs(emb, ivfCents(s, dir), minCos = 0.3)
+        .select(col("vec_a"), col("vec_b")).withColumn("_hit", lit(1L))
+      truth.join(got, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+        .select(lit("semantic").as("method"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+    }),
+
     // -- multimodal plumbing --
     "mm_media_meta" -> ((s, dir) =>
       MultimodalOps.decodeMetadata(MultimodalOps.mediaSpans(kgDocs(s, dir)))
@@ -2055,6 +2073,24 @@ object SparkEntry {
          |      JOIN sz ON sz.cid = x.cid)
          |SELECT CAST(cid AS INTEGER) AS ivf_cid, vec_a, vec_b, cosine
          |FROM p WHERE cosine >= 0.3""".stripMargin,
+    // SemDeDup recall vs the shared brute truth: the k-means replay's `e`
+    // CTE doubles as the quantized-vector source for the truth join
+    "dedup_semantic_recall" ->
+      s"""WITH $ivfCtes,
+         |truth AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.q,y.q) /
+         |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) >= 0.3),
+         |sz AS (SELECT cid FROM asn GROUP BY cid HAVING count(*) BETWEEN 2 AND 256),
+         |sem AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, 1 AS hit
+         |  FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN sz ON sz.cid = x.cid
+         |  WHERE round(list_dot_product(x.q,y.q) /
+         |    (sqrt(list_dot_product(x.q,x.q))*sqrt(list_dot_product(y.q,y.q))), 6) >= 0.3)
+         |SELECT 'semantic' AS method, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(COALESCE(sem.hit, 0)) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(COALESCE(sem.hit, 0)) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth LEFT JOIN sem USING (vec_a, vec_b)""".stripMargin,
     "dedup_embedding_mp" -> {
       def bucket(offset: Int): String = (0 until 8).map(j =>
         s"CASE WHEN embedding[${offset + j + 1}]>0 THEN ${1L << j} ELSE 0 END")
