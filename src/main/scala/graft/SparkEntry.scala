@@ -328,6 +328,42 @@ object SparkEntry {
       graft.ops.GraphOps.pmiEdges(pairs,
         dm.toDF().select(col("doc_id"), col("curie")))
     }),
+    "kg_components" -> ((s, dir) => {
+      // entity community labeling: exact connected components of the
+      // top-1-strongest-neighbor graph (each entity keeps only its
+      // strongest co-occurrence edge — the mutual-best-match clustering
+      // step). Components run the same spec-proven alternating-star
+      // rounds as dedup_clusters: ONE implementation for component
+      // finding whether vertices are documents or KG entities.
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      val top1 = graft.ops.GraphOps.topNeighbors(pairs, k = 1)
+      graft.ops.GraphOps.components(top1, srcCol = "node", tgtCol = "neighbor")
+    }),
+    "kg_delta" -> ((s, dir) => {
+      // incremental maintenance: the tagged (add/remove) set difference
+      // between the KG built from snapshot A (docs with doc_id % 3 <> 0)
+      // and snapshot B (doc_id % 3 <> 1) — overlapping but not nested, so
+      // BOTH directions do real work. In the production loop snapshot A
+      // is the previous run's sink read back from parquet, never
+      // recomputed; here both sides rebuild so the oracle can replay.
+      val pipe = KgPipeline.analytics(s)
+      val docs = tbl(s, dir, "documents")
+      def snap(keep: org.apache.spark.sql.Column): DataFrame = {
+        // one extraction pass per snapshot shared by the node and edge
+        // branches (lazy localCheckpoint, ContextCleaner-freed)
+        val dm = pipe.docMentions(Corpus.fromDocumentsTable(docs.filter(keep)))
+          .localCheckpoint(false)
+        pipe.nodes(dm).toDF()
+          .select(lit("node").as("kind"), col("id").as("a"),
+            lit("-").as("b"), col("label"))
+          .unionByName(pipe.mentionEdges(dm).toDF()
+            .select(lit("edge").as("kind"), col("src").as("a"),
+              col("tgt").as("b"), col("label")))
+      }
+      graft.ops.DeltaOps.snapshotDelta(
+        snap(col("doc_id") % 3 =!= 0), snap(col("doc_id") % 3 =!= 1))
+    }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       // lazy localCheckpoint, not persist: blocks are ContextCleaner-freed
@@ -1165,6 +1201,60 @@ object SparkEntry {
          |            // (CAST(a.df AS HUGEINT) * b.df) AS BIGINT) AS lift_ppm
          |FROM e0 JOIN f a ON a.curie = e0.src JOIN f b ON b.curie = e0.tgt
          |CROSS JOIN n""".stripMargin,
+    // components of the top-1-neighbor graph: the row_number cut replays
+    // topNeighbors(k=1) (ties -> lowest neighbor id), the recursive reach
+    // CTE replays the alternating-star component labels (min reachable id)
+    "kg_components" ->
+      s"""${dictCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS s, b.curie AS t2, count(*) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS node, t2 AS neighbor, n_docs FROM e0
+         |      UNION ALL SELECT t2, s, n_docs FROM e0),
+         |r AS (SELECT node, neighbor,
+         |        ROW_NUMBER() OVER (PARTITION BY node
+         |                           ORDER BY n_docs DESC, neighbor) AS rn
+         |      FROM e),
+         |fe AS (SELECT node AS src, neighbor AS tgt FROM r WHERE rn = 1),
+         |edges AS (SELECT src AS s, tgt AS d FROM fe
+         |          UNION ALL SELECT tgt, src FROM fe),
+         |reach(node, rt) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e2.s, rr.rt FROM edges e2 JOIN reach rr ON e2.d = rr.node)
+         |SELECT node, min(rt) AS component FROM reach GROUP BY node""".stripMargin,
+    // incremental snapshot delta: EXCEPT in both directions over the
+    // node+edge projections of two overlapping document snapshots
+    "kg_delta" ->
+      s"""$dictCte,
+         |ma AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |  WHERE d.doc_id % 3 <> 0),
+         |mb AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |  WHERE d.doc_id % 3 <> 1),
+         |sa AS (
+         |  SELECT DISTINCT 'node' AS kind, curie AS a, '-' AS b, cls AS label FROM ma
+         |  UNION ALL
+         |  SELECT DISTINCT 'node', doc_id, '-', 'document' FROM ma
+         |  UNION ALL
+         |  SELECT 'edge', doc_id, curie, 'MENTIONS' FROM ma),
+         |sb AS (
+         |  SELECT DISTINCT 'node' AS kind, curie AS a, '-' AS b, cls AS label FROM mb
+         |  UNION ALL
+         |  SELECT DISTINCT 'node', doc_id, '-', 'document' FROM mb
+         |  UNION ALL
+         |  SELECT 'edge', doc_id, curie, 'MENTIONS' FROM mb)
+         |SELECT 'add' AS op, kind, a, b, label FROM (
+         |  SELECT * FROM sb EXCEPT SELECT * FROM sa)
+         |UNION ALL
+         |SELECT 'remove', kind, a, b, label FROM (
+         |  SELECT * FROM sa EXCEPT SELECT * FROM sb)""".stripMargin,
     // integer fixed-point power iteration replayed as three chained CTEs —
     // every step is integral division + BIGINT sums, so DuckDB reproduces
     // the Spark result bit-exactly (see GraphOps.pageRank)

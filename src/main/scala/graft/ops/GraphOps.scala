@@ -121,6 +121,33 @@ object GraphOps {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Exact connected components over an edge list — entity COMMUNITY
+    * labeling once the co-occurrence graph has been thresholded to its
+    * meaningful edges (e.g. the positive-PMI subgraph from [[pmiEdges]]:
+    * `lift_ppm > ppmScale`). Each incident node gets `component` = the
+    * minimum node id reachable from it; isolated nodes (nothing survived
+    * the threshold) carry no row, matching [[pageRank]]'s incident-set
+    * semantics.
+    *
+    * This is a thin adapter over the spec-proven alternating large-star/
+    * small-star rounds in [[DedupOps.dedupClustersStats]] (O(log n)
+    * rounds, hub-safe: per-node min + equi-join, never a neighbor-list
+    * materialization) — component finding is the same algorithm whether
+    * the vertices are near-dup documents or KG entities, so the engine
+    * has ONE implementation. String ids take the distributed path (the
+    * driver union-find fast path is long-keyed only), which on the KG
+    * path is a handful of dictionary-bounded rounds.
+    *
+    * 100-TB shape: identical to the dedup-cluster story — every round is
+    * two join+agg jobs over the (already aggregated, per-doc-capped) edge
+    * set with a one-round-deep checkpoint, never over the corpus. */
+  def components(edges: DataFrame, srcCol: String = "src",
+      tgtCol: String = "tgt", maxIter: Int = 50): DataFrame =
+    DedupOps.dedupClusters(
+        edges.select(col(srcCol).as("doc_a"), col(tgtCol).as("doc_b")),
+        maxIter)
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
   /** PMI edge weighting over the co-occurrence graph — the association
     * score that separates "co-occurs because both are everywhere" (hub ×
     * hub) from "co-occurs because they are related" (the standard

@@ -118,6 +118,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L)))
   }
 
+  test("components: two string-keyed clusters labeled by their min id") {
+    // strings force the distributed alternating-star path (the driver
+    // union-find fast path is long-keyed only)
+    val out = GraphOps.components(
+        edges("b" -> "c", "c" -> "d", "x" -> "y"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("b" -> "b", "c" -> "b", "d" -> "b", "x" -> "x", "y" -> "x"))
+  }
+
+  test("components composed with topNeighbors(k=1) keeps every incident node") {
+    val s = spark
+    import s.implicits._
+    // a-b strong pair, c-d strong pair, weak a-c bridge is cut by k=1
+    val es = Seq(("a", "b", 9L), ("c", "d", 9L), ("a", "c", 1L))
+      .toDF("src", "tgt", "n_docs")
+    val top1 = GraphOps.topNeighbors(es, k = 1)
+    val out = GraphOps.components(top1, srcCol = "node", tgtCol = "neighbor")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))
