@@ -340,6 +340,16 @@ object SparkEntry {
       val top1 = graft.ops.GraphOps.topNeighbors(pairs, k = 1)
       graft.ops.GraphOps.components(top1, srcCol = "node", tgtCol = "neighbor")
     }),
+    "kg_entity_resolve" -> ((s, dir) => {
+      // fuzzy-merge candidate pairs over the mentioned entity names:
+      // length-banded blocking (double emission, provably no pair lost to
+      // banding), per-block levenshtein <= 2; generation proposes, a
+      // downstream disposer decides
+      val pipe = KgPipeline.analytics(s)
+      val dm = pipe.docMentions(kgDocs(s, dir))
+      graft.ops.ResolveOps.candidatePairs(
+        dm.toDF().select(col("surface").as("name")))
+    }),
     "kg_delta" -> ((s, dir) => {
       // incremental maintenance: the tagged (add/remove) set difference
       // between the KG built from snapshot A (docs with doc_id % 3 <> 0)
@@ -719,6 +729,14 @@ object SparkEntry {
       // length-bucketed dynamic batching: grouped distributed prefix sum —
       // a partition-by-bucket window would collapse parallelism to ~20
       graft.ops.SampleOps.lengthBatches(tbl(s, dir, "documents"), batchSize = 8)),
+    "sample_weighted" -> ((s, dir) =>
+      // quality-weighted downsampling: keep probability proportional to a
+      // quality signal (here the doc-length signal, full keep >= 500
+      // chars), decided content-keyed — a codegen'd filter in the scan,
+      // no shuffle, no RNG state
+      graft.ops.SampleOps.weightedSample(tbl(s, dir, "documents"),
+          least(lit(1000000L), col("n_chars") * lit(2000L)))
+        .select(col("doc_id"), col("n_chars"))),
     "sample_mixture" -> ((s, dir) =>
       // data-mixture composition (Pile/Dolma shape): 200-doc corpus at
       // 50/30/20 over three sources — upsamples at sf0.01 (25 docs/source
@@ -1226,6 +1244,22 @@ object SparkEntry {
          |  UNION
          |  SELECT e2.s, rr.rt FROM edges e2 JOIN reach rr ON e2.d = rr.node)
          |SELECT node, min(rt) AS component FROM reach GROUP BY node""".stripMargin,
+    // blocked fuzzy matching: length-banded double-emission blocks +
+    // per-block levenshtein, deduped; DuckDB's levenshtein is the same
+    // unit-cost edit distance as Spark's
+    "kg_entity_resolve" ->
+      s"""$dictCte,
+         |names AS (
+         |  SELECT DISTINCT t.term AS name
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |b AS (SELECT name, length(name) // 3 AS blk FROM names
+         |      UNION ALL SELECT name, length(name) // 3 + 1 FROM names),
+         |c AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 4096),
+         |ok AS (SELECT b.name, b.blk FROM b JOIN c USING (blk))
+         |SELECT DISTINCT x.name AS a, y.name AS b,
+         |  CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+         |FROM ok x JOIN ok y USING (blk)
+         |WHERE x.name < y.name AND levenshtein(x.name, y.name) <= 2""".stripMargin,
     // incremental snapshot delta: EXCEPT in both directions over the
     // node+edge projections of two overlapping document snapshots
     "kg_delta" ->
@@ -1886,6 +1920,10 @@ object SparkEntry {
         |      ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, pos, pos // 8 AS batch FROM r""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 1000000
+        |      < least(1000000, n_chars * 2000)""".stripMargin,
     "sample_mixture" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

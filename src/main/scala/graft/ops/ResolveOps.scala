@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: blocked fuzzy matching over entity names.
+  *
+  * The reference resolves identity by exact normalization — preferred-id
+  * prefixing and synonym mapping (biocypher/_mapping.py,
+  * biocypher/output/translate/_translate.py) — which assumes the adapter
+  * feed is already clean. Real feeds carry typo'd and variant surface
+  * forms; finding them is a pairwise problem, and at 100 TB the classic
+  * answer is BLOCKING: only compare names that share a cheap key, never
+  * all pairs.
+  */
+object ResolveOps {
+
+  /** Candidate merge pairs among the distinct entity names: pairs sharing
+    * a length block whose Levenshtein distance is ≤ `maxDist`, emitted as
+    * `(a, b, dist)` with `a < b`. Candidate GENERATION only — a
+    * downstream classifier (or a human) disposes; cross-type pairs are
+    * deliberately kept so the disposer sees them.
+    *
+    * Blocking is length-banded with double emission: each name lands in
+    * blocks `len div bandWidth` and `len div bandWidth + 1`. Because an
+    * edit distance ≤ `maxDist` bounds the length difference by `maxDist`
+    * and `bandWidth > maxDist`, two matchable names' bands differ by at
+    * most 1, so their emitted block sets always intersect — NO true pair
+    * is lost to blocking (the only recall cap is `maxBlock`). Pairs found
+    * in both shared blocks are deduped.
+    *
+    * 100-TB shape: the self-join runs per block, bounded by `maxBlock`
+    * (oversized blocks are dropped whole — the stop-shingle/`maxDf`
+    * discipline: a block that big means a degenerate key, and comparing
+    * inside it is quadratic noise, not signal). The name table is the
+    * DISTINCT name set — vocabulary-sized, not corpus-sized — so every
+    * block join is a small hash join; the corpus is never re-scanned. */
+  def candidatePairs(entities: DataFrame, nameCol: String = "name",
+      maxDist: Int = 2, bandWidth: Int = 3, maxBlock: Int = 4096): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(bandWidth > maxDist,
+      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) — that gap is " +
+        "what guarantees no true pair is lost to length banding")
+    require(maxBlock > 1, s"maxBlock must be > 1: $maxBlock")
+    val names = entities
+      .select(col(nameCol).cast("string").as("name"))
+      .where(col("name").isNotNull)
+      .distinct()
+    val band = floor(length(col("name")) / bandWidth).cast("long")
+    val blocks = names.select(col("name"), band.as("blk"))
+      .union(names.select(col("name"), (band + 1L).as("blk")))
+    val keptBlocks = blocks.groupBy("blk").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBlock)
+      .select("blk")
+    val ok = blocks.join(keptBlocks, Seq("blk"))
+    ok.select(col("blk"), col("name").as("a"))
+      .join(ok.select(col("blk"), col("name").as("b")), Seq("blk"))
+      .where(col("a") < col("b") &&
+        levenshtein(col("a"), col("b")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .distinct()
+  }
+}

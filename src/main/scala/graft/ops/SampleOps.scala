@@ -60,6 +60,21 @@ object SampleOps {
       coalesce(element_at(bounds, col(strataCol)), lit(0L)))
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row with probability
+    * `weightPpm / 1e6`, decided content-keyed — the quality-weighted
+    * downsampling step (keep high-quality documents with certainty,
+    * low-quality ones in proportion to their score). `weightPpm` is any
+    * integer Column in parts-per-million; values ≥ 1e6 keep always, ≤ 0
+    * never. Same seeded-hash discipline as [[hashSplit]]: the decision is
+    * a pure function of (id, seed), so the sample is stable across runs,
+    * engines and cluster layouts, and the scan needs NO shuffle, no
+    * per-bucket count pass, and no RNG state. 100-TB shape: a codegen'd
+    * filter fused into the scan — weight-proportional sampling costs the
+    * same as a WHERE clause. */
+  def weightedSample(df: DataFrame, weightPpm: Column, seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(hashBucket(col(idCol), seed, 1000000) < weightPpm.cast("long"))
+
   /** Corpus MIXTURE composition — the Pile/Dolma data-mixing shape: build
     * a training corpus of ~`totalDocs` documents where source `s`
     * contributes `targetShares(s) * totalDocs` of them, UP- or

@@ -347,6 +347,55 @@ class OpsSpec extends AnyFunSuite {
     assert(s3.filter($"lang" === "de").count() == 0)
   }
 
+  test("weightedSample keeps proportionally to the weight column, deterministically") {
+    import graft.ops.SampleOps
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) 900000L else 100000L))
+      .toDF("doc_id", "w")
+    val s1 = SampleOps.weightedSample(df, col("w"))
+    val byW = s1.groupBy("w").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(math.abs(byW(900000L) - 1800L) < 150, s"90% of 2000: $byW")
+    assert(math.abs(byW(100000L) - 200L) < 100, s"10% of 2000: $byW")
+    // weight >= 1e6 keeps always; <= 0 never
+    assert(SampleOps.weightedSample(df, lit(1000000L)).count() == 4000)
+    assert(SampleOps.weightedSample(df, lit(0L)).count() == 0)
+    // deterministic across runs
+    val s2 = SampleOps.weightedSample(df, col("w"))
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("entity-resolution candidates: banded blocking finds exactly the brute pairs") {
+    import graft.ops.ResolveOps
+    val names = Seq("scan", "scna", "skan", "filter", "filtre", "window",
+      "windoww", "completely-different").toDF("name")
+    val got = ResolveOps.candidatePairs(names).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute-force truth at lev <= 2 over the distinct names
+    val arr = names.as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- arr; b <- arr if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got == want)
+    assert(want.contains(("scan", "scna", 2L)) && want.contains(("window", "windoww", 1L)))
+  }
+
+  test("entity-resolution candidates: oversized blocks are dropped whole") {
+    import graft.ops.ResolveOps
+    // 5 same-length near-identical names all land in the same two blocks
+    val names = Seq("aaaa", "aaab", "aaac", "aaad", "aaae").toDF("name")
+    assert(ResolveOps.candidatePairs(names, maxBlock = 4).count() == 0)
+    assert(ResolveOps.candidatePairs(names, maxBlock = 5).count() == 10)
+  }
+
   test("selfNgramDedup marks cross-document shared windows, not within-doc repeats") {
     // docs 1 & 2 share the 3-gram "a b c"; doc 3 repeats "x y z" internally
     // (twice) but shares it with nobody; doc 4 is disjoint from everyone
