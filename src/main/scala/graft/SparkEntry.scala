@@ -340,6 +340,16 @@ object SparkEntry {
       val top1 = graft.ops.GraphOps.topNeighbors(pairs, k = 1)
       graft.ops.GraphOps.components(top1, srcCol = "node", tgtCol = "neighbor")
     }),
+    "kg_ego" -> ((s, dir) => {
+      // entity-neighborhood extraction: 3-hop ego ball around the hub
+      // entity over the SAME top-1-strongest-neighbor graph kg_components
+      // labels — frontier BFS, each round a broadcast join + anti-join
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      val top1 = graft.ops.GraphOps.topNeighbors(pairs, k = 1)
+      graft.ops.GraphOps.egoSubgraph(top1, seed = "engine:spark", hops = 3,
+        srcCol = "node", tgtCol = "neighbor")
+    }),
     "kg_entity_resolve" -> ((s, dir) => {
       // fuzzy-merge candidate pairs over the mentioned entity names:
       // length-banded blocking (double emission, provably no pair lost to
@@ -1244,6 +1254,37 @@ object SparkEntry {
          |  UNION
          |  SELECT e2.s, rr.rt FROM edges e2 JOIN reach rr ON e2.d = rr.node)
          |SELECT node, min(rt) AS component FROM reach GROUP BY node""".stripMargin,
+    // 3 chained BFS rounds over the top-1-neighbor graph; a node's dist
+    // is the first round that reaches it (exact shortest path)
+    "kg_ego" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS s, b.curie AS t2, count(*) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS node, t2 AS neighbor, n_docs FROM e0
+         |      UNION ALL SELECT t2, s, n_docs FROM e0),
+         |r AS (SELECT node, neighbor,
+         |        ROW_NUMBER() OVER (PARTITION BY node
+         |                           ORDER BY n_docs DESC, neighbor) AS rn
+         |      FROM e),
+         |fe AS (SELECT node AS src, neighbor AS tgt FROM r WHERE rn = 1),
+         |ed AS (SELECT src AS s, tgt AS d FROM fe
+         |       UNION ALL SELECT tgt, src FROM fe),
+         |n0(node) AS (VALUES ('engine:spark')),
+         |r1 AS (SELECT DISTINCT ed.d AS node FROM ed JOIN n0 ON ed.s = n0.node
+         |       WHERE ed.d NOT IN (SELECT node FROM n0)),
+         |r2 AS (SELECT DISTINCT ed.d AS node FROM ed JOIN r1 ON ed.s = r1.node
+         |       WHERE ed.d NOT IN (SELECT node FROM n0 UNION SELECT node FROM r1)),
+         |r3 AS (SELECT DISTINCT ed.d AS node FROM ed JOIN r2 ON ed.s = r2.node
+         |       WHERE ed.d NOT IN (SELECT node FROM n0 UNION SELECT node FROM r1
+         |                          UNION SELECT node FROM r2))
+         |SELECT node, CAST(0 AS BIGINT) AS dist FROM n0
+         |UNION ALL SELECT node, 1 FROM r1
+         |UNION ALL SELECT node, 2 FROM r2
+         |UNION ALL SELECT node, 3 FROM r3""".stripMargin,
     // blocked fuzzy matching: length-banded double-emission blocks +
     // per-block levenshtein, deduped; DuckDB's levenshtein is the same
     // unit-cost edit distance as Spark's

@@ -148,6 +148,47 @@ object GraphOps {
         maxIter)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
+  /** Bounded k-hop ego subgraph: every node within `hops` of `seed`, with
+    * its hop distance — the "show me this entity's neighborhood" query
+    * (the reference's users run exactly this on the NetworkX hand-off;
+    * here it is a distributed op so the graph never has to fit anywhere).
+    *
+    * Classic frontier BFS, `hops` rounds: each round joins the (tiny)
+    * frontier against the symmetrized edge list and anti-joins the
+    * already-reached set. Distances are exact minima (a node is claimed
+    * by the FIRST round that reaches it, which is its shortest path — no
+    * tie-break needed, so the result is engine-exact by construction).
+    *
+    * 100-TB shape: the frontier and reached sets are ball-sized, not
+    * graph-sized — both broadcast; the edge list is barriered once (same
+    * policy as [[pageRank]]) so the upstream pipeline runs once, and each
+    * round is one broadcast join + one anti-join. O(hops) stages. */
+  def egoSubgraph(edges: DataFrame, seed: String, hops: Int,
+      srcCol: String = "src", tgtCol: String = "tgt"): DataFrame = {
+    require(hops >= 0, s"hops must be >= 0: $hops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+      col(tgtCol).cast("string").as("v"))
+    val und0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val und =
+      if (spark.sparkContext.getCheckpointDir.isDefined
+          && spark.conf.get("spark.graft.barrier", "auto") != "local")
+        und0.checkpoint(false)
+      else und0.localCheckpoint(false)
+    var reached = Seq((seed, 0L)).toDF("node", "dist")
+    var frontier = reached.select(col("node"))
+    for (k <- 1 to hops) {
+      val next = und.join(broadcast(frontier), col("u") === col("node"))
+        .select(col("v").as("node")).distinct()
+        .join(broadcast(reached.select(col("node"))), Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      reached = reached.unionByName(next.withColumn("dist", lit(k.toLong)))
+      frontier = next
+    }
+    reached
+  }
+
   /** PMI edge weighting over the co-occurrence graph — the association
     * score that separates "co-occurs because both are everywhere" (hub ×
     * hub) from "co-occurs because they are related" (the standard

@@ -139,6 +139,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
   }
 
+  test("egoSubgraph: exact hop distances on a path, ball bounded by hops") {
+    val path = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val out = GraphOps.egoSubgraph(path, seed = "a", hops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("egoSubgraph: a cycle's far side is reached by the shorter arc") {
+    val cyc = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    val out = GraphOps.egoSubgraph(cyc, seed = "a", hops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L))
+  }
+
+  test("egoSubgraph: unknown seed yields just the seed at distance 0") {
+    val out = GraphOps.egoSubgraph(edges("x" -> "y"), seed = "z", hops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("z" -> 0L))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))
