@@ -679,6 +679,12 @@ object SparkEntry {
       // shuffle (a capped broadcast model would drop the rare tokens,
       // which are the keywords)
       TextOps.keywords(tbl(s, dir, "documents"), k = 3, maxDfPpm = 100000L)),
+    "text_bm25" -> ((s, dir) =>
+      // integer fixed-point BM25 top-10 (rational idf — ln deliberately
+      // dropped, see TextOps.bm25TopK): one thin barriered scan, all
+      // model sides broadcast, TakeOrderedAndProject cut on (score, doc)
+      TextOps.bm25TopK(tbl(s, dir, "documents"),
+        queryTerms = Seq("scan", "vector", "stream"))),
     "text_stats" -> ((s, dir) =>
       // per-(source, lang) corpus profile: the report mixture shares and
       // filter thresholds are chosen against; one scan, one dims-sized agg
@@ -1816,6 +1822,33 @@ object SparkEntry {
         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3""".stripMargin,
+    // rational-idf BM25 replayed with HUGEINT floor division (all values
+    // non-negative, so DuckDB's // == Spark's truncating div); lateral
+    // column references chain the milli/ppm stages inside one SELECT
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |stats AS (SELECT count(*) AS n_total, sum(dl) AS sum_dl FROM pd),
+        |q(term) AS (VALUES ('scan'), ('vector'), ('stream')),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tf AS (SELECT tok.doc_id, tok.w AS term, count(*) AS tf
+        |       FROM tok JOIN q ON tok.w = q.term GROUP BY 1, 2),
+        |qr AS (SELECT tf.doc_id, tf.term, tf.tf, pd.dl
+        |       FROM tf JOIN pd USING (doc_id)),
+        |f AS (SELECT term, count(*) AS df FROM qr GROUP BY 1),
+        |sc AS (SELECT qr.doc_id,
+        |    (CAST(s.sum_dl AS HUGEINT) * 1000) // s.n_total AS avgdl_m,
+        |    250 + (CAST(qr.dl AS HUGEINT) * 750 * 1000) // avgdl_m AS norm_m,
+        |    qr.tf * 1000 + (1200 * norm_m) // 1000 AS denom_m,
+        |    (CAST(qr.tf AS HUGEINT) * 2200 * 1000000) // denom_m AS sat_ppm,
+        |    ((2 * (CAST(s.n_total AS HUGEINT) - f.df) + 1) * 1000000)
+        |      // (2 * f.df + 1) AS idf_ppm,
+        |    (idf_ppm * sat_ppm) // 1000000 AS contrib
+        |  FROM qr JOIN f USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_ppm DESC, doc_id LIMIT 10""".stripMargin,
     "text_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,

@@ -454,4 +454,78 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),
         col("df").cast("long").as("df"), col("rn").cast("long").as("rn"))
   }
+
+  /** Integer fixed-point BM25 retrieval: top-`k` documents for a literal
+    * term query — the corpus-curation retrieval step (find the documents
+    * about X; seed a topic filter; build an eval slice).
+    *
+    * House exactness discipline: the classic BM25
+    * `idf = ln((N-df+0.5)/(df+0.5))` is replaced by its ARGUMENT as
+    * fixed-point `idf_ppm = ((2(N-df)+1)·1e6) div (2df+1)` — ln is
+    * deliberately dropped. Per term that is a monotone rescoring; across
+    * the sum it weights rare terms MORE aggressively than log-idf (a
+    * documented deviation, not an approximation error), and in exchange
+    * every score is bit-exact across engines, partitionings and reduce
+    * orders (the text_keywords rationale: two libm ln's need not agree,
+    * a div always does). TF saturation keeps real BM25 shape with
+    * k1 = 1.2, b = 0.75 in milli-units:
+    * {{{
+    *   avgdl_m = (Σdl·1000) div N
+    *   norm_m  = 250 + (dl·750·1000) div avgdl_m      // (1-b) + b·dl/avgdl
+    *   denom_m = tf·1000 + (1200·norm_m) div 1000     // tf + k1·norm
+    *   sat_ppm = (tf·2200·1e6) div denom_m            // tf·(k1+1)/denom
+    *   score   = Σ_terms (idf_ppm·sat_ppm) div 1e6
+    * }}}
+    * All quantities non-negative, so Spark's truncating `div` and
+    * DuckDB's floor `//` agree; products run in decimal(38,0) (HUGEINT
+    * on the oracle side) with headroom past 10^12 documents.
+    *
+    * 100-TB shape: ONE corpus scan computes the thin per-doc row
+    * (doc_id, dl, per-query-term tf — query-sized, not vocab-sized),
+    * barriered so the stats aggregate and the scoring branch share it;
+    * df and the corpus stats are single-row/query-sized broadcasts; the
+    * only O(docs) movement is the TakeOrderedAndProject top-k (ties
+    * broken on doc_id — a deterministic cutoff, never an engine race). */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    require(k > 0, s"k must be positive: $k")
+    val tfStructs = array(queryTerms.map(q =>
+      struct(lit(q).as("term"),
+        size(filter(col("_t"), x => x === q)).cast("long").as("tf"))): _*)
+    val perDoc = documents
+      .withColumn("_t", filter(tokens(col("text")), x => x =!= ""))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        tfStructs.as("_tfs"))
+      // thin (id, dl, |query| longs) rows; lazy localCheckpoint shares the
+      // single extraction scan between the stats and scoring branches
+      .localCheckpoint(false)
+    val stats = broadcast(perDoc.agg(
+      count(lit(1)).cast("long").as("n_total"),
+      sum(col("dl")).cast("long").as("sum_dl")))
+    val qrows = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("_tfs")).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.term").as("term"),
+        col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val dfSide = broadcast(
+      qrows.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df")))
+    qrows.join(dfSide, Seq("term")).crossJoin(stats)
+      .withColumn("avgdl_m",
+        expr("(cast(sum_dl as decimal(38,0)) * 1000) div n_total"))
+      .withColumn("idf_ppm", expr(
+        "((2 * (cast(n_total as decimal(38,0)) - df) + 1) * 1000000) div (2 * df + 1)"))
+      .withColumn("norm_m",
+        expr("250 + (cast(dl as decimal(38,0)) * 750 * 1000) div avgdl_m"))
+      .withColumn("denom_m",
+        expr("tf * 1000 + (1200 * cast(norm_m as decimal(38,0))) div 1000"))
+      .withColumn("sat_ppm",
+        expr("(cast(tf as decimal(38,0)) * 2200 * 1000000) div denom_m"))
+      .withColumn("contrib",
+        expr("(cast(idf_ppm as decimal(38,0)) * sat_ppm) div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
 }

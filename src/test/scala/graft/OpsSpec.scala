@@ -396,6 +396,27 @@ class OpsSpec extends AnyFunSuite {
     assert(ResolveOps.candidatePairs(names, maxBlock = 5).count() == 10)
   }
 
+  test("bm25TopK: term frequency ranks within a term, rarity across terms, k cuts") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "scan scan scan filler filler"),  // tf(scan)=3
+      (2L, "scan filler filler filler one"), // tf(scan)=1
+      (3L, "rare filler filler filler two"), // tf(rare)=1, df(rare)=1
+      (4L, "filler filler filler men three") // no query term
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("scan", "rare"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // doc 4 has no query term -> absent; the rare term (df 1, idf_ppm
+    // 2333333) outscores even tf=3 of the common one (df 2, idf_ppm
+    // 1000000, saturated sat_ppm 1571428); tf=3 still beats tf=1
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 2L))
+    val score = out.toMap
+    assert(score(3L) == 2333333L && score(1L) == 1571428L && score(2L) == 1000000L)
+    // k bounds the result deterministically
+    assert(TextOps.bm25TopK(docs, Seq("scan", "rare"), k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 1L))
+  }
+
   test("selfNgramDedup marks cross-document shared windows, not within-doc repeats") {
     // docs 1 & 2 share the 3-gram "a b c"; doc 3 repeats "x y z" internally
     // (twice) but shares it with nobody; doc 4 is disjoint from everyone
