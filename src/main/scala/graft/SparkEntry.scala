@@ -380,6 +380,9 @@ object SparkEntry {
           .unionByName(pipe.mentionEdges(dm).toDF()
             .select(lit("edge").as("kind"), col("src").as("a"),
               col("tgt").as("b"), col("label")))
+          // each snapshot feeds BOTH delta directions; barrier the
+          // KG-sized projection so its dedup shuffles run once, not twice
+          .localCheckpoint(false)
       }
       graft.ops.DeltaOps.snapshotDelta(
         snap(col("doc_id") % 3 =!= 0), snap(col("doc_id") % 3 =!= 1))
