@@ -794,6 +794,27 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       AnnOps.cosineTopK(emb, q, excludeId = 0L, k = 10)
     }),
+    "hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: the BM25 lexical ranker and the quantized-cosine
+      // vector ranker fused by integer reciprocal-rank fusion. Each ranker
+      // hands over only its top-20 list, so the fusion cost is independent
+      // of corpus size; the row_number windows rank 20-row lists (post
+      // TakeOrdered cut), never the corpus.
+      val w = org.apache.spark.sql.expressions.Window
+      val bm = TextOps.bm25TopK(tbl(s, dir, "documents"),
+          queryTerms = Seq("scan", "vector", "stream"), k = 20)
+        .select(col("doc_id").as("id"),
+          row_number().over(
+            w.orderBy(col("score_ppm").desc, col("doc_id"))).as("rank"))
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val ann = AnnOps.cosineTopK(emb, qv, excludeId = 0L, k = 20)
+        .select(col("vec_id").as("id"),
+          row_number().over(
+            w.orderBy(col("cosine").desc, col("vec_id"))).as("rank"))
+      AnnOps.rrfFuse(Seq(bm, ann))
+    }),
     "ann_lsh_hist" -> ((s, dir) =>
       AnnOps.bucketHistogram(tbl(s, dir, "embeddings"), nBits = 8)),
     "ann_lsh_multiprobe" -> ((s, dir) => {
@@ -2139,6 +2160,54 @@ object SparkEntry {
         |    (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
         |FROM e, q
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // both rankers' SQL chains verbatim (bm25 + quantized cosine), cut to
+    // top-20, ranked, fused with truncating 1e6 // (60 + rank)
+    "hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |stats AS (SELECT count(*) AS n_total, sum(dl) AS sum_dl FROM pd),
+        |q(term) AS (VALUES ('scan'), ('vector'), ('stream')),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tf AS (SELECT tok.doc_id, tok.w AS term, count(*) AS tf
+        |       FROM tok JOIN q ON tok.w = q.term GROUP BY 1, 2),
+        |qr AS (SELECT tf.doc_id, tf.term, tf.tf, pd.dl
+        |       FROM tf JOIN pd USING (doc_id)),
+        |f AS (SELECT term, count(*) AS df FROM qr GROUP BY 1),
+        |sc AS (SELECT qr.doc_id,
+        |    (CAST(s.sum_dl AS HUGEINT) * 1000) // s.n_total AS avgdl_m,
+        |    250 + (CAST(qr.dl AS HUGEINT) * 750 * 1000) // avgdl_m AS norm_m,
+        |    qr.tf * 1000 + (1200 * norm_m) // 1000 AS denom_m,
+        |    (CAST(qr.tf AS HUGEINT) * 2200 * 1000000) // denom_m AS sat_ppm,
+        |    ((2 * (CAST(s.n_total AS HUGEINT) - f.df) + 1) * 1000000)
+        |      // (2 * f.df + 1) AS idf_ppm,
+        |    (idf_ppm * sat_ppm) // 1000000 AS contrib
+        |  FROM qr JOIN f USING (term) CROSS JOIN stats s),
+        |bmtop AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm
+        |          FROM sc GROUP BY doc_id
+        |          ORDER BY score_ppm DESC, doc_id LIMIT 20),
+        |bm AS (SELECT doc_id AS id,
+        |         row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk
+        |       FROM bmtop),
+        |qv AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |ev AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ee
+        |  FROM embeddings WHERE vec_id <> 0),
+        |actop AS (SELECT vec_id,
+        |    round(list_dot_product(ee, qe) /
+        |      (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6)
+        |      AS cosine
+        |  FROM ev, qv ORDER BY cosine DESC, vec_id LIMIT 20),
+        |av AS (SELECT vec_id AS id,
+        |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+        |       FROM actop),
+        |u AS (SELECT id, 1000000 // (60 + rnk) AS rrf FROM bm
+        |      UNION ALL SELECT id, 1000000 // (60 + rnk) FROM av)
+        |SELECT id, CAST(sum(rrf) AS BIGINT) AS rrf_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_rankers
+        |FROM u GROUP BY id ORDER BY rrf_ppm DESC, id LIMIT 10""".stripMargin,
     "ann_lsh_hist" ->
       """SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
         |      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END

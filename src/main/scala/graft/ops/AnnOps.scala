@@ -429,4 +429,37 @@ object AnnOps {
     embeddings.groupBy(md5(to_json(quantize(col("embedding")))).as("vh"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("keep_id"))
       .filter(col("n") >= minCopies)
+
+  /** Reciprocal-rank fusion — hybrid retrieval's standard combiner: each
+    * ranker contributes `1e6 div (c + rank)` ppm per candidate and the
+    * fused score is the sum (Cormack et al.'s RRF with the usual c = 60).
+    * RRF consumes only RANKS, so the lexical and vector rankers' wildly
+    * different score scales never meet — and because every input rank is
+    * already deterministic (each ranker tie-breaks on its id) and the
+    * contribution is a truncating integer division, the fused score is
+    * engine-exact by construction: no normalization constants to
+    * disagree on.
+    *
+    * Inputs: one DataFrame per ranker with columns `(id, rank)` (rank
+    * 1-based). Output: top-`k` of `(id, rrf_ppm, n_rankers)`, ties on
+    * the fused score broken by id.
+    *
+    * 100-TB shape: rankers hand over their TOP-K lists, not their
+    * corpora — the fusion runs on |rankers|·k rows regardless of corpus
+    * size (one tiny union + hash agg + ordered cut). The heavy lifting
+    * stays inside each ranker's own scale path (partition-pruned IVF,
+    * barriered BM25). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive: $k")
+    require(c >= 0, s"c must be non-negative: $c")
+    val scored = rankings.map(_.select(col("id"),
+      expr(s"1000000L div ($c + rank)").as("rrf_ppm")))
+    scored.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(col("rrf_ppm")).cast("long").as("rrf_ppm"),
+        count(lit(1)).cast("long").as("n_rankers"))
+      .orderBy(col("rrf_ppm").desc, col("id"))
+      .limit(k)
+  }
 }

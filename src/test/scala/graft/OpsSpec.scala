@@ -417,6 +417,21 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 1L))
   }
 
+  test("rrfFuse: cross-ranker overlap outranks single hits, integer-exact ppm") {
+    import graft.ops.AnnOps
+    val lexical = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vector = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = AnnOps.rrfFuse(Seq(lexical, vector)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1e6 div (60+r): r1 -> 16393, r2 -> 16129, r3 -> 15873
+    assert(out.toSeq == Seq(
+      (20L, 16129L + 16393L, 2L), // both rankers
+      (10L, 16393L, 1L), (40L, 16129L, 1L), (30L, 15873L, 1L)))
+    // k cuts after the deterministic (score, id) order
+    assert(AnnOps.rrfFuse(Seq(lexical, vector), k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(20L, 10L))
+  }
+
   test("selfNgramDedup marks cross-document shared windows, not within-doc repeats") {
     // docs 1 & 2 share the 3-gram "a b c"; doc 3 repeats "x y z" internally
     // (twice) but shares it with nobody; doc 4 is disjoint from everyone
