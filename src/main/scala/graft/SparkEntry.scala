@@ -797,22 +797,23 @@ object SparkEntry {
     "hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: the BM25 lexical ranker and the quantized-cosine
       // vector ranker fused by integer reciprocal-rank fusion. Each ranker
-      // hands over only its top-20 list, so the fusion cost is independent
-      // of corpus size; the row_number windows rank 20-row lists (post
-      // TakeOrdered cut), never the corpus.
-      val w = org.apache.spark.sql.expressions.Window
+      // hands over only its ORDERED top-20 list (TakeOrderedAndProject
+      // output preserves the sort), so ranks attach with a bounded ≤k-row
+      // collect — the IVF-centroid discipline — rather than a global
+      // window, whose empty partition spec cannot be worked around
+      // (EliminateWindowPartitions folds literal keys away) and which
+      // would WARN as if it were corpus-sized.
+      import s.implicits._
       val bm = TextOps.bm25TopK(tbl(s, dir, "documents"),
           queryTerms = Seq("scan", "vector", "stream"), k = 20)
-        .select(col("doc_id").as("id"),
-          row_number().over(
-            w.orderBy(col("score_ppm").desc, col("doc_id"))).as("rank"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq.toDF("id", "rank")
       val emb = tbl(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val ann = AnnOps.cosineTopK(emb, qv, excludeId = 0L, k = 20)
-        .select(col("vec_id").as("id"),
-          row_number().over(
-            w.orderBy(col("cosine").desc, col("vec_id"))).as("rank"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq.toDF("id", "rank")
       AnnOps.rrfFuse(Seq(bm, ann))
     }),
     "ann_lsh_hist" -> ((s, dir) =>
