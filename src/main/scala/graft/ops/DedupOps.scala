@@ -220,6 +220,33 @@ object DedupOps {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     dedupClustersStats(pairs, maxIter)._1
 
+  /** [[localUnionFind]]'s string-keyed twin (KG entity ids are curies):
+    * same roots-under-the-smaller-id discipline with lexicographic order,
+    * so find() yields the component min — identical output to the
+    * distributed star rounds (string `<` is the same binary-UTF8 order
+    * Spark's `least`/`min` use). */
+  private def localUnionFindStr(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      parent.getOrElseUpdate(if (ra < rb) ra else rb, if (ra < rb) ra else rb)
+    }
+    val members = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    spark.createDataset(members.toSeq.map(m => (m, find(m))))
+      .toDF("doc_id", "cluster")
+  }
+
   /** Driver-side union-find for a SMALL long-keyed edge set (≤ the
     * [[dedupClustersStats]] threshold): roots always attach under the
     * smaller id, so find() yields the component min — identical output to
@@ -249,7 +276,8 @@ object DedupOps {
   /** [[dedupClusters]] plus the number of large-star/small-star rounds run
     * (spec hook for the O(log n) convergence bound). `localThreshold` is
     * the adaptive small-graph gate: when the (already bucket-capped)
-    * candidate-pair set fits comfortably on the driver and is long-keyed,
+    * candidate-pair set fits comfortably on the driver and is long- or
+    * string-keyed,
     * a single union-find pass replaces the O(log n) distributed rounds —
     * the same kind of size-gated physical choice AQE makes for joins. The
     * distributed path is the contract (spec-proven equal on the same
@@ -267,8 +295,11 @@ object DedupOps {
 
     val longKeyed = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longKeyed && localThreshold > 0 && e.count() <= localThreshold)
-      return (localUnionFind(e), 0)
+    val stringKeyed = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if ((longKeyed || stringKeyed) && localThreshold > 0
+        && e.count() <= localThreshold)
+      return (if (longKeyed) localUnionFind(e) else localUnionFindStr(e), 0)
 
     // set fingerprint: row count + XOR of per-edge hashes (order-independent,
     // overflow-free under ANSI; the edge set is distinct so XOR cannot cancel)

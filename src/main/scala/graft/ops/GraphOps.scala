@@ -134,9 +134,9 @@ object GraphOps {
     * rounds, hub-safe: per-node min + equi-join, never a neighbor-list
     * materialization) — component finding is the same algorithm whether
     * the vertices are near-dup documents or KG entities, so the engine
-    * has ONE implementation. String ids take the distributed path (the
-    * driver union-find fast path is long-keyed only), which on the KG
-    * path is a handful of dictionary-bounded rounds.
+    * has ONE implementation, including its size-gated physical choice: a
+    * small long- or string-keyed edge set runs the driver union-find
+    * instead of the O(log n) distributed rounds (spec-proven equal).
     *
     * 100-TB shape: identical to the dedup-cluster story — every round is
     * two join+agg jobs over the (already aggregated, per-doc-capped) edge

@@ -119,8 +119,8 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("components: two string-keyed clusters labeled by their min id") {
-    // strings force the distributed alternating-star path (the driver
-    // union-find fast path is long-keyed only)
+    // small string-keyed set: exercises the string union-find fast path
+    // (ComponentsSpec-equality with the distributed rounds is in OpsSpec)
     val out = GraphOps.components(
         edges("b" -> "c", "c" -> "d", "x" -> "y"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

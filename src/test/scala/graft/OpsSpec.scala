@@ -124,6 +124,22 @@ class OpsSpec extends AnyFunSuite {
     assert(local.as[(Long, Long)].collect().toMap == dist.as[(Long, Long)].collect().toMap)
   }
 
+  test("dedupClusters: STRING-keyed union-find path equals the distributed path") {
+    // curie-shaped ids; lexicographic min must match Spark's string order
+    val pairs = Seq(("op:scan", "op:sort"), ("op:sort", "store:row"),
+      ("load:batch", "load:query"), ("engine:spark", "load:batch"))
+      .toDF("doc_a", "doc_b")
+    val (local, lr) = DedupOps.dedupClustersStats(pairs)
+    val (dist, dr) = DedupOps.dedupClustersStats(pairs, localThreshold = 0)
+    assert(lr == 0 && dr >= 1)
+    assert(local.as[(String, String)].collect().toMap ==
+      dist.as[(String, String)].collect().toMap)
+    assert(local.as[(String, String)].collect().toMap ==
+      Map("op:scan" -> "op:scan", "op:sort" -> "op:scan", "store:row" -> "op:scan",
+        "engine:spark" -> "engine:spark", "load:batch" -> "engine:spark",
+        "load:query" -> "engine:spark"))
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     // 3 identical docs + 1 distinct: all three share every band bucket
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
