@@ -748,6 +748,12 @@ object SparkEntry {
       // length-bucketed dynamic batching: grouped distributed prefix sum —
       // a partition-by-bucket window would collapse parallelism to ~20
       graft.ops.SampleOps.lengthBatches(tbl(s, dir, "documents"), batchSize = 8)),
+    "sample_budget" -> ((s, dir) =>
+      // budgeted curation: the best 15k tokens by the length signal —
+      // distributed prefix sum over the (quality DESC, id) range order,
+      // never a single-partition global window
+      graft.ops.SampleOps.budgetSelect(tbl(s, dir, "documents"),
+        budgetTokens = 15000L, orderCol = "n_chars")),
     "sample_weighted" -> ((s, dir) =>
       // quality-weighted downsampling: keep probability proportional to a
       // quality signal (here the doc-length signal, full keep >= 500
@@ -2019,6 +2025,16 @@ object SparkEntry {
         |      ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
         |  FROM t)
         |SELECT doc_id, n_tokens, bucket, pos, pos // 8 AS batch FROM r""".stripMargin,
+    "sample_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 15000""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE ('0x'||substr(md5(doc_id||'graft'),1,14))::BIGINT % 1000000

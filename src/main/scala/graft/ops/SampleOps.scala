@@ -189,6 +189,52 @@ object SampleOps {
           expr(s"start_offset DIV ${capacity}L") + lit(1L)).as("n_seqs"))
   }
 
+  /** Token-budget corpus selection — "the best `budgetTokens` worth of
+    * the corpus": documents are ordered by (`orderCol` DESC, id) — put a
+    * quality score there — and the maximal prefix whose cumulative token
+    * count stays ≤ `budgetTokens` is kept (strict: a document that would
+    * cross the budget is dropped, as are all below it). The standard
+    * budgeted-curation step between quality scoring and training.
+    *
+    * Returns `(doc_id, n_tokens, cum_tokens)` for the kept prefix,
+    * `cum_tokens` inclusive — so the loader knows both the cut and each
+    * doc's position in it.
+    *
+    * Scale shape: the [[packSequences]] distributed prefix sum applied to
+    * a DESCENDING quality order — range partition by (quality DESC, id),
+    * per-partition partials (one row each), a partition-count-sized
+    * window for the bases, broadcast back, then a per-partition running
+    * sum and a codegen'd filter. NEVER the single-partition global
+    * window. Both range keys flow through both branches, so AQE reuses
+    * the exchange (the shuffleOrder column-pruning lesson does not bite:
+    * partitioning columns cannot be pruned). */
+  def budgetSelect(documents: DataFrame, budgetTokens: Long, orderCol: String,
+      numPartitions: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = documents
+      .select(col(idCol).as("doc_id"), col(orderCol).cast("long").as("_q"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("_q").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val bases = parted.groupBy("_pid").agg(sum("n_tokens").as("_psum"))
+      .withColumn("_base", coalesce(
+        sum(col("_psum")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_base"))
+    parted.join(broadcast(bases), Seq("_pid"))
+      .withColumn("cum_tokens", col("_base") +
+        sum(col("n_tokens")).over(
+          Window.partitionBy("_pid").orderBy(col("_q").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-sequence slice view of [[packSequences]] — the loader contract's
     * other half (VERDICT r7 #4): one row per (sequence, document)
     * intersection, `(seq_id, doc_id, skip_tokens, take_tokens)`, meaning

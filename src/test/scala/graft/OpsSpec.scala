@@ -448,6 +448,27 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(20L, 10L))
   }
 
+  test("budgetSelect: maximal quality-ordered prefix, strict budget, partition-independent") {
+    import graft.ops.SampleOps
+    // quality q, lengths 4/3/2/1 tokens; order by q desc, id
+    val docs = Seq(
+      (1L, 90L, "w w w w"), (2L, 80L, "w w w"),
+      (3L, 80L, "w w"), (4L, 10L, "w")).toDF("doc_id", "q", "text")
+    val out = SampleOps.budgetSelect(docs, budgetTokens = 9, orderCol = "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // order: d1(4) cum 4, d2(3) cum 7, d3(2) cum 9, d4(1) cum 10 > 9 cut
+    assert(out == Set((1L, 4L, 4L), (2L, 3L, 7L), (3L, 2L, 9L)))
+    // strict: a budget mid-doc drops that doc
+    assert(SampleOps.budgetSelect(docs, 8, "q")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // partition independence
+    val p1 = SampleOps.budgetSelect(docs, 9, "q", numPartitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val p5 = SampleOps.budgetSelect(docs, 9, "q", numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(p1 == p5 && p1 == out.map(t => (t._1, t._3)))
+  }
+
   test("selfNgramDedup marks cross-document shared windows, not within-doc repeats") {
     // docs 1 & 2 share the 3-gram "a b c"; doc 3 repeats "x y z" internally
     // (twice) but shares it with nobody; doc 4 is disjoint from everyone
