@@ -411,14 +411,8 @@ final class KgPipeline(
       .toDF("k").distinct()
     // lazy barrier: materializes with the first action; reliable (cluster-FS)
     // when a checkpoint dir is configured, local blocks otherwise — see the
-    // cluster note above. `spark.graft.barrier=local` forces the local path
-    // even with a dir set (lets a cluster opt out, and lets tests restore
-    // the default after exercising the reliable branch).
-    val keys =
-      if (spark.sparkContext.getCheckpointDir.isDefined
-          && spark.conf.get("spark.graft.barrier", "auto") != "local")
-        distinctKeys.checkpoint(false)
-      else distinctKeys.localCheckpoint(false)
+    // cluster note above and graft.Barrier.
+    val keys = Barrier(distinctKeys)
     val hi = shiftright(col("k"), 32).cast("int")
     val lo = col("k").bitwiseAND(lit(0xffffffffL)).cast("int")
     val entityThin = entityThinFromRanks(keys.filter(hi === lo).select(hi.as("rank")))

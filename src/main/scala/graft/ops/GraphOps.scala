@@ -64,11 +64,7 @@ object GraphOps {
     // Every iteration re-reads the edge list; barrier it so the upstream
     // pipeline (e.g. the mention scan) runs once, not `iterations` times.
     val prePart = if (hugeGraph) und0.repartition(col("u")) else und0
-    val und =
-      if (spark.sparkContext.getCheckpointDir.isDefined
-          && spark.conf.get("spark.graft.barrier", "auto") != "local")
-        prePart.checkpoint(false)
-      else prePart.localCheckpoint(false)
+    val und = graft.Barrier(prePart)
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     // Node count folded in as a lazy 1-row broadcast cross join — no eager
     // .count() action while building the plan (the lmScore lesson).
@@ -171,11 +167,7 @@ object GraphOps {
     val e = edges.select(col(srcCol).cast("string").as("u"),
       col(tgtCol).cast("string").as("v"))
     val und0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val und =
-      if (spark.sparkContext.getCheckpointDir.isDefined
-          && spark.conf.get("spark.graft.barrier", "auto") != "local")
-        und0.checkpoint(false)
-      else und0.localCheckpoint(false)
+    val und = graft.Barrier(und0)
     var reached = Seq((seed, 0L)).toDF("node", "dist")
     var frontier = reached.select(col("node"))
     for (k <- 1 to hops) {

@@ -42,16 +42,15 @@ object ResolveOps {
       s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) — that gap is " +
         "what guarantees no true pair is lost to length banding")
     require(maxBlock > 1, s"maxBlock must be > 1: $maxBlock")
-    // the distinct name set is vocabulary-sized; barrier it (lazy
-    // localCheckpoint, ContextCleaner-freed) — blocks/counts/self-join
+    // the distinct name set is vocabulary-sized; barrier it (graft.Barrier:
+    // reliable on a cluster, local blocks here) — blocks/counts/self-join
     // sides all re-read these tiny rows, and without the barrier each
     // consumer would re-run the full upstream extraction scan (measured:
     // 16 corpus scans in the un-barriered plan)
-    val names = entities
+    val names = graft.Barrier(entities
       .select(col(nameCol).cast("string").as("name"))
       .where(col("name").isNotNull)
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     val band = floor(length(col("name")) / bandWidth).cast("long")
     val blocks = names.select(col("name"), band.as("blk"))
       .union(names.select(col("name"), (band + 1L).as("blk")))

@@ -497,9 +497,9 @@ object TextOps {
       .withColumn("_t", filter(tokens(col("text")), x => x =!= ""))
       .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
         tfStructs.as("_tfs"))
-      // thin (id, dl, |query| longs) rows; lazy localCheckpoint shares the
+      // thin (id, dl, |query| longs) rows; the lazy barrier shares the
       // single extraction scan between the stats and scoring branches
-      .localCheckpoint(false)
+      .transform(df => graft.Barrier(df))
     val stats = broadcast(perDoc.agg(
       count(lit(1)).cast("long").as("n_total"),
       sum(col("dl")).cast("long").as("sum_dl")))
