@@ -301,6 +301,14 @@ object SparkEntry {
       val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
       graft.ops.GraphOps.pageRank(pairs)
     }),
+    "kg_ppr" -> ((s, dir) => {
+      // personalized PageRank: every entity's relevance to the hub seed —
+      // teleport mass confined to the seed set; same integral broadcast
+      // schedule as kg_pagerank (|S| replaces N in the unit)
+      val pipe = KgPipeline.analytics(s)
+      val pairs = graft.extract.Mentions.cooccurrencePairs(kgDocs(s, dir), pipe.bcDict)
+      graft.ops.GraphOps.pageRank(pairs, seeds = Seq("engine:spark"))
+    }),
     "kg_neighbors_topk" -> ((s, dir) => {
       // "related entities": per-entity top-3 co-occurrence neighbors,
       // deterministic tie-break on the neighbor id; one bounded-partition
@@ -1367,6 +1375,42 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'remove', kind, a, b, label FROM (
          |  SELECT * FROM sa EXCEPT SELECT * FROM sb)""".stripMargin,
+    // personalized variant: teleport mass confined to the seed (|S| = 1),
+    // same chained-CTE replay with seed-gated base/init
+    "kg_ppr" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT d.doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |e0 AS (
+         |  SELECT a.curie AS s, b.curie AS t2
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.curie < b.curie
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS u, t2 AS v FROM e0 UNION ALL SELECT t2 AS u, s AS v FROM e0),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, deg,
+         |         CASE WHEN node IN ('engine:spark')
+         |              THEN (15 * (1000000000000 // n)) // 100 ELSE 0 END AS base,
+         |         CASE WHEN node IN ('engine:spark')
+         |              THEN 1000000000000 // n ELSE 0 END AS rank
+         |       FROM deg CROSS JOIN (
+         |         SELECT count(*) AS n FROM deg WHERE node IN ('engine:spark'))),
+         |r1 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r0 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r0 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node),
+         |r2 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r1 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r1 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node),
+         |r3 AS (SELECT d.node, d.deg, d.base,
+         |         d.base + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+         |       FROM r2 d LEFT JOIN (
+         |         SELECT e.v AS node, SUM(r.rank // r.deg) AS contrib
+         |         FROM e JOIN r2 r ON e.u = r.node GROUP BY e.v) c ON c.node = d.node)
+         |SELECT node, CAST(deg AS BIGINT) AS degree, CAST(rank AS BIGINT) AS rank
+         |FROM r3""".stripMargin,
     // integer fixed-point power iteration replayed as three chained CTEs —
     // every step is integral division + BIGINT sums, so DuckDB reproduces
     // the Spark result bit-exactly (see GraphOps.pageRank)

@@ -49,10 +49,17 @@ object GraphOps {
     * shuffle join plus one aggregate by target — the classic Pregel
     * schedule, O(iterations) stages with no lineage blow-up because the
     * edge side is a checkpointed leaf.
+    *
+    * `seeds` non-empty makes it PERSONALIZED PageRank: initial mass and
+    * the (1-d) teleport return confined to the seed set (|S| replaces N
+    * in the unit), so ranks read "relevance to the seeds" — the KG
+    * recommendation / query-expansion primitive. Uniform PageRank is the
+    * all-nodes special case; the arithmetic stays integral either way.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", tgtCol: String = "tgt",
       iterations: Int = 3, dampingPct: Int = 85,
-      scale: Long = 1000000000000L, hugeGraph: Boolean = false): DataFrame = {
+      scale: Long = 1000000000000L, hugeGraph: Boolean = false,
+      seeds: Seq[String] = Nil): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(dampingPct >= 0 && dampingPct <= 100, s"bad dampingPct: $dampingPct")
     require(scale > 0, s"scale must be positive: $scale")
@@ -66,14 +73,22 @@ object GraphOps {
     val prePart = if (hugeGraph) und0.repartition(col("u")) else und0
     val und = graft.Barrier(prePart)
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    // Node count folded in as a lazy 1-row broadcast cross join — no eager
-    // .count() action while building the plan (the lmScore lesson).
-    val nRow = broadcast(deg.agg(count(lit(1)).as("n")))
+    // PERSONALIZED variant (seeds non-empty): the walk starts at, and the
+    // (1-d) teleport mass returns to, the seed set only — so `rank` reads
+    // "relevance to the seeds", the KG recommendation/expansion query.
+    // Same integral arithmetic with |S| (seeds present in the graph)
+    // replacing N; uniform PageRank is the seeds = all-nodes special case.
+    val isSeed =
+      if (seeds.isEmpty) lit(true) else col("node").isin(seeds.map(x => x: Any): _*)
+    // Node/seed count folded in as a lazy 1-row broadcast cross join — no
+    // eager .count() action while building the plan (the lmScore lesson).
+    val nRow = broadcast(deg.filter(isSeed).agg(count(lit(1)).as("n")))
     var ranks = deg.crossJoin(nRow)
       .withColumn("unit", expr(s"${scale}L div n"))
       .select(col("node"), col("deg"),
-        expr(s"((100 - $dampingPct) * unit) div 100").as("base"),
-        col("unit").as("rank"))
+        when(isSeed, expr(s"((100 - $dampingPct) * unit) div 100"))
+          .otherwise(lit(0L)).as("base"),
+        when(isSeed, col("unit")).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iterations) {
       val r = if (hugeGraph) ranks else broadcast(ranks)
       val contrib = und

@@ -159,6 +159,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out == Map("z" -> 0L))
   }
 
+  test("personalized PageRank: teleport mass confined to the seed, hand-computed") {
+    // path a-b-c, seed {a}: n=1, unit=1e12, base(a)=15e12 div 100
+    // iter1: contrib(b) = rank(a) div deg(a) = 1e12; contrib(a)=contrib(c)=0
+    val r = rankMap(GraphOps.pageRank(edges("a" -> "b", "b" -> "c"),
+      iterations = 1, seeds = Seq("a")))
+    assert(r("a")._2 == 150000000000L)
+    assert(r("b")._2 == 850000000000L)
+    assert(r("c")._2 == 0L)
+    // seeds = all nodes degenerates to uniform PageRank
+    val uni = rankMap(GraphOps.pageRank(edges("a" -> "b", "b" -> "c"), iterations = 2))
+    val all = rankMap(GraphOps.pageRank(edges("a" -> "b", "b" -> "c"),
+      iterations = 2, seeds = Seq("a", "b", "c")))
+    assert(uni == all)
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))
