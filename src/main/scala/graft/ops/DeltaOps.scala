@@ -33,16 +33,34 @@ object DeltaOps {
     * dropped at the join, never materialized. Writing both snapshots
     * bucketed by the key columns makes the joins co-located (zero
     * shuffle); otherwise this is one symmetric-hash-shuffle pass. When
-    * one side is a small changed-batch rebuild, AQE broadcasts it. */
-  def snapshotDelta(prev: DataFrame, next: DataFrame): DataFrame = {
+    * one side is a small changed-batch rebuild, AQE broadcasts it.
+    *
+    * Two contract knobs unlock the fully co-located pass
+    * (`ScratchDeltaBucket` evidence: 4 exchanges unbucketed → 2 bucketed
+    * → 0 bucketed + both knobs):
+    *  - `assumeDistinct = true` skips the defensive per-side dedup —
+    *    correct whenever the inputs are real snapshots (the sink's
+    *    output IS a set by the engine's dedup contract);
+    *  - `nullSafe = false` compares with plain equality instead of
+    *    `<=>`. Null-safe join keys are planned as `(coalesce(k, d),
+    *    isnull(k))` pairs, a distribution bucketing on the raw columns
+    *    can never satisfy ("Bucketed: false (disabled by query
+    *    planner)") — so co-location REQUIRES plain keys. Only set it
+    *    when the compared columns are non-null by contract (KG node/edge
+    *    ids and labels are); a null-keyed row under plain equality would
+    *    spuriously appear in both directions. */
+  def snapshotDelta(prev: DataFrame, next: DataFrame,
+      assumeDistinct: Boolean = false, nullSafe: Boolean = true): DataFrame = {
     require(prev.columns.sameElements(next.columns),
       s"snapshot schemas differ: ${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
     val cols = prev.columns.toSeq
-    val p = prev.dropDuplicates(cols)
-    val n = next.dropDuplicates(cols)
-    val added = n.join(p, cols.map(c => n(c) <=> p(c)).reduce(_ && _), "left_anti")
+    val p = if (assumeDistinct) prev else prev.dropDuplicates(cols)
+    val n = if (assumeDistinct) next else next.dropDuplicates(cols)
+    def eq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (nullSafe) a <=> b else a === b
+    val added = n.join(p, cols.map(c => eq(n(c), p(c))).reduce(_ && _), "left_anti")
       .select(lit("add").as("op") +: cols.map(n(_)): _*)
-    val removed = p.join(n, cols.map(c => p(c) <=> n(c)).reduce(_ && _), "left_anti")
+    val removed = p.join(n, cols.map(c => eq(p(c), n(c))).reduce(_ && _), "left_anti")
       .select(lit("remove").as("op") +: cols.map(p(_)): _*)
     added.unionByName(removed)
   }

@@ -43,6 +43,20 @@ class DeltaOpsSpec extends AnyFunSuite {
     assert(DeltaOps.snapshotDelta(snap, snap).isEmpty)
   }
 
+  test("contract knobs preserve the result on distinct non-null snapshots") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(("n1", "x"), ("gone", "y")).toDF("id", "label")
+    val next = Seq(("n1", "x"), ("new", "z")).toDF("id", "label")
+    val base = DeltaOps.snapshotDelta(prev, next).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val fast = DeltaOps.snapshotDelta(prev, next,
+        assumeDistinct = true, nullSafe = false).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(base == fast)
+    assert(base == Set(("add", "new", "z"), ("remove", "gone", "y")))
+  }
+
   test("mismatched schemas are rejected") {
     val s = spark
     import s.implicits._
