@@ -268,6 +268,42 @@ object SparkEntry {
       try q.awaitTermination() finally q.stop()
       ss.table(sinkName).select(col("src"), col("tgt"), col("label"))
     }),
+    "kg_stream_delta" -> ((s, dir) => {
+      // streaming incremental maintenance: the docs corpus streams in and
+      // ONLY nodes absent from the previous snapshot (the doc_id % 3 <> 0
+      // subset — kg_delta's snapshot A, in production read back from the
+      // sink) emerge. The snapshot seeds the dedup STATE (initialState) —
+      // no per-micro-batch join against it; same staging/trigger/state
+      // sizing as kg_stream_nodes.
+      val pipe = KgPipeline.analytics(s)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      import ss.implicits._
+      val prevIds = pipe.nodes(pipe.docMentions(Corpus.fromDocumentsTable(
+          ss.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 3 =!= 0))))
+        .map(_.id)
+      val streamIn = streamInputArtifact(s, dir)
+      val schema = ss.read.parquet(streamIn).schema
+      val docsStream = Corpus.fromDocumentsTable(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+          .parquet(streamIn))
+      val nodes0 = graft.translate.Translate.nodes(
+        graft.extract.Mentions.toRawNodesWithDocs(
+          graft.extract.Mentions.detect(docsStream, pipe.bcDict)), pipe.bcCtx)
+      // ttl = null: unbounded state is exact, which the batch-twin oracle
+      // needs (the TTL path has its own spec)
+      val adds = graft.streaming.Streaming.nodeAddsStream(nodes0, prevIds, ttl = null)
+      val sinkName = "kg_stream_delta_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = adds.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", workDir(s, "stream-delta-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      ss.table(sinkName)
+        .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
+    }),
     "kg_triples" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       val (_, _, t) = pipe.run(kgDocs(s, dir))
@@ -1151,6 +1187,28 @@ object SparkEntry {
          |SELECT DISTINCT CAST(d.doc_id AS VARCHAR), 'document', 'doc'
          |FROM documents d WHERE EXISTS (
          |  SELECT 1 FROM dict t WHERE (' '||d.text||' ') LIKE ('% '||t.term||' %'))""".stripMargin,
+    // the seeded stream must emit EXACTLY the nodes of the full corpus
+    // that are absent from the snapshot subset (the batch delta's 'add'
+    // node rows)
+    "kg_stream_delta" ->
+      s"""$dictCte,
+         |mf AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls, t.pfx
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |mp AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls, t.pfx
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |  WHERE d.doc_id % 3 <> 0),
+         |sf AS (
+         |  SELECT DISTINCT curie AS id, cls AS label, pfx AS preferred_id FROM mf
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, 'document', 'doc' FROM mf),
+         |sp AS (
+         |  SELECT DISTINCT curie AS id, cls AS label, pfx AS preferred_id FROM mp
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, 'document', 'doc' FROM mp)
+         |SELECT id, label, preferred_id FROM (
+         |  SELECT * FROM sf EXCEPT SELECT * FROM sp)""".stripMargin,
     // the streaming edge slice must land on EXACTLY the batch mention edges
     "kg_stream_edges" ->
       s"""$dictCte

@@ -29,24 +29,46 @@ object Streaming {
     if (ttl == null) GroupStateTimeout.NoTimeout
     else GroupStateTimeout.ProcessingTimeTimeout
 
+  /** First-seen-wins state function shared by the plain and snapshot-
+    * seeded node dedup streams. */
+  private def firstSeen(ttl: String)(
+      key: String, rows: Iterator[KgNode],
+      state: GroupState[Boolean]): Iterator[KgNode] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out =
+        if (state.exists) Iterator.empty
+        else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+        else Iterator.empty
+      if (ttl != null) state.setTimeoutDuration(ttl)
+      out
+    }
+
   /** Cross-micro-batch node dedup: emit a node the first time its id is
     * seen, drop it for the TTL horizon after. */
   def dedupNodesStream(nodes: Dataset[KgNode], ttl: String = DefaultTtl): Dataset[KgNode] = {
     import nodes.sparkSession.implicits._
     nodes.groupByKey(_.id)
       .flatMapGroupsWithState[Boolean, KgNode](
-        OutputMode.Append, timeoutConf(ttl)) {
-        (_: String, rows: Iterator[KgNode], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val out =
-              if (state.exists) Iterator.empty
-              else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
-              else Iterator.empty
-            if (ttl != null) state.setTimeoutDuration(ttl)
-            out
-          }
-      }
+        OutputMode.Append, timeoutConf(ttl))(firstSeen(ttl))
+  }
+
+  /** [[dedupNodesStream]] with the seen-state PRE-SEEDED from a previous
+    * snapshot's node ids — the streaming face of
+    * [[graft.ops.DeltaOps.snapshotDelta]]'s `add` direction: only nodes
+    * absent from the snapshot emerge from the stream. The snapshot loads
+    * into the state store ONCE (Spark's `initialState`), so each
+    * micro-batch pays for its own keys only — there is NO per-batch join
+    * against the snapshot — and recovery replays from the checkpoint like
+    * any stateful query. Removals cannot stream (an absence is not an
+    * event); they remain the batch delta's job. */
+  def nodeAddsStream(nodes: Dataset[KgNode], prevIds: Dataset[String],
+      ttl: String = DefaultTtl): Dataset[KgNode] = {
+    import nodes.sparkSession.implicits._
+    val initial = prevIds.groupByKey(identity).mapValues(_ => true)
+    nodes.groupByKey(_.id)
+      .flatMapGroupsWithState[Boolean, KgNode](
+        OutputMode.Append, timeoutConf(ttl), initial)(firstSeen(ttl))
   }
 
   /** Per-type cross-batch edge dedup on relId / src_tgt, TTL-bounded. */

@@ -38,6 +38,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seeded adds stream: snapshot ids never emerge, unseen ids emerge once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[KgNode]
+    val prevIds = Seq("a", "c").toDS()
+    val q = Streaming.nodeAddsStream(in.toDS(), prevIds, ttl = null)
+      .writeStream.format("memory").queryName("adds_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: 'a' is in the snapshot (suppressed), 'b' is new
+      in.addData(
+        KgNode.make("a", "protein", "id", Props.of("v" -> PV.int(1))),
+        KgNode.make("b", "protein", "id", Props.of("v" -> PV.int(2))))
+      q.processAllAvailable()
+      // batch 2: 'b' again (cross-batch deduped), 'c' snapshot, 'd' new
+      in.addData(
+        KgNode.make("b", "protein", "id", Props.of("v" -> PV.int(3))),
+        KgNode.make("c", "protein", "id", Props.of("v" -> PV.int(4))),
+        KgNode.make("d", "protein", "id", Props.of("v" -> PV.int(5))))
+      q.processAllAvailable()
+      val out = spark.table("adds_out").as[KgNode].collect()
+      assert(out.map(_.id).sorted.toSeq == Seq("b", "d"))
+    } finally q.stop()
+  }
+
   test("streaming ingestion slice: docs stream -> mentions -> nodes, deduped across batches") {
     import graft.model.{Doc, Span}
     import graft.corpus.AnalyticsDomain
