@@ -220,56 +220,57 @@ object DedupOps {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     dedupClustersStats(pairs, maxIter)._1
 
-  /** [[localUnionFind]]'s string-keyed twin (KG entity ids are curies):
-    * same roots-under-the-smaller-id discipline with lexicographic order,
-    * so find() yields the component min — identical output to the
-    * distributed star rounds (string `<` is the same binary-UTF8 order
-    * Spark's `least`/`min` use). */
+  /** Driver-side union-find over a SMALL collected edge set (≤ the
+    * [[dedupClustersStats]] threshold): roots always attach under the
+    * smaller id per `lt`, so find() yields the component min — identical
+    * output to the distributed star rounds at none of their per-round job
+    * latency. ONE implementation for every key type; the caller supplies
+    * the order that matches Spark's `least`/`min` for that type. */
+  private def unionFindLabels[K](edges: Array[(K, K)],
+      lt: (K, K) => Boolean): Seq[(K, K)] = {
+    val parent = scala.collection.mutable.HashMap.empty[K, K]
+    def find(x: K): K = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      val m = if (lt(rb, ra)) rb else ra
+      parent.getOrElseUpdate(m, m)
+    }
+    val members = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    members.toSeq.map(m => (m, find(m)))
+  }
+
+  /** UTF-8 binary order — what Spark's `least`/`min` use on strings
+    * (UTF8String compares unsigned bytes). Java String `<` is UTF-16
+    * code-unit order, which DISAGREES for supplementary-plane code
+    * points: U+10000+ sorts via 0xD800-range surrogates in UTF-16 (below
+    * U+E000..U+FFFF) but via 0xF0-lead bytes in UTF-8 (above them) — so
+    * the fast path must compare bytes or its component labels could
+    * diverge from the distributed rounds'. */
+  private def ltUtf8(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   private def localUnionFindStr(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val edges = e.as[(String, String)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      parent.getOrElseUpdate(if (ra < rb) ra else rb, if (ra < rb) ra else rb)
-    }
-    val members = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-    spark.createDataset(members.toSeq.map(m => (m, find(m))))
+    spark.createDataset(
+        unionFindLabels(e.as[(String, String)].collect(), ltUtf8))
       .toDF("doc_id", "cluster")
   }
 
-  /** Driver-side union-find for a SMALL long-keyed edge set (≤ the
-    * [[dedupClustersStats]] threshold): roots always attach under the
-    * smaller id, so find() yields the component min — identical output to
-    * the distributed star rounds at none of their per-round job latency. */
   private def localUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val edges = e.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x // path compression
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      parent.getOrElseUpdate(ra min rb, ra min rb)
-    }
-    val members = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-    spark.createDataset(members.toSeq.map(m => (m, find(m))))
+    spark.createDataset(
+        unionFindLabels(e.as[(Long, Long)].collect(), (a: Long, b: Long) => a < b))
       .toDF("doc_id", "cluster")
   }
 

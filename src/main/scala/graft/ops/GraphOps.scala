@@ -83,8 +83,11 @@ object GraphOps {
     // Node/seed count folded in as a lazy 1-row broadcast cross join — no
     // eager .count() action while building the plan (the lmScore lesson).
     val nRow = broadcast(deg.filter(isSeed).agg(count(lit(1)).as("n")))
+    // n = 0 (no seed present in the graph) must not crash the div under
+    // ANSI mode: an absent seed means zero teleport mass, so every rank
+    // is 0 — the graceful-degradation twin of egoSubgraph's unknown seed
     var ranks = deg.crossJoin(nRow)
-      .withColumn("unit", expr(s"${scale}L div n"))
+      .withColumn("unit", expr(s"case when n > 0 then ${scale}L div n else 0L end"))
       .select(col("node"), col("deg"),
         when(isSeed, expr(s"((100 - $dampingPct) * unit) div 100"))
           .otherwise(lit(0L)).as("base"),

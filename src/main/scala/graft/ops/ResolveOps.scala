@@ -60,10 +60,15 @@ object ResolveOps {
     val ok = blocks.join(keptBlocks, Seq("blk"))
     ok.select(col("blk"), col("name").as("a"))
       .join(ok.select(col("blk"), col("name").as("b")), Seq("blk"))
-      .where(col("a") < col("b") &&
-        levenshtein(col("a"), col("b")) <= maxDist)
-      .select(col("a"), col("b"),
-        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .where(col("a") < col("b"))
+      // levenshtein evaluated ONCE per candidate: the Generate is a
+      // pushdown barrier, so the <= maxDist predicate cannot be cloned
+      // below the projection and re-run the O(|a|·|b|) distance (the
+      // ExtractMentions double-eval lesson)
+      .select(explode(array(struct(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.dist").as("dist"))
+      .where(col("dist") <= maxDist)
       .distinct()
   }
 }

@@ -217,7 +217,7 @@ object SampleOps {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val parted = documents
-      .select(col(idCol).as("doc_id"), col(orderCol).cast("long").as("_q"),
+      .select(col(idCol).as("doc_id"), col(orderCol).as("_q"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
       .repartitionByRange(p, col("_q").desc, col("doc_id"))
       .withColumn("_pid", spark_partition_id())

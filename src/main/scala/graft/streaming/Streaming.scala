@@ -61,9 +61,15 @@ object Streaming {
     * micro-batch pays for its own keys only — there is NO per-batch join
     * against the snapshot — and recovery replays from the checkpoint like
     * any stateful query. Removals cannot stream (an absence is not an
-    * event); they remain the batch delta's job. */
+    * event); they remain the batch delta's job.
+    *
+    * Default `ttl = null` (unbounded state) — unlike the plain dedup
+    * streams: a TTL would silently EXPIRE the snapshot suppression, so a
+    * snapshot node quiet for the horizon would re-emerge as a spurious
+    * `add` the batch delta would never produce. Pass a TTL only when
+    * bounded-horizon semantics are actually wanted. */
   def nodeAddsStream(nodes: Dataset[KgNode], prevIds: Dataset[String],
-      ttl: String = DefaultTtl): Dataset[KgNode] = {
+      ttl: String = null): Dataset[KgNode] = {
     import nodes.sparkSession.implicits._
     val initial = prevIds.groupByKey(identity).mapValues(_ => true)
     nodes.groupByKey(_.id)

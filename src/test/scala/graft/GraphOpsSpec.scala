@@ -174,6 +174,15 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(uni == all)
   }
 
+  test("personalized PageRank: absent seed degrades to zero mass, no crash") {
+    // ANSI mode would otherwise kill the job with DIVIDE_BY_ZERO on
+    // unit = scale div 0 (the egoSubgraph unknown-seed analogue)
+    val r = rankMap(GraphOps.pageRank(edges("a" -> "b"),
+      iterations = 2, seeds = Seq("nowhere")))
+    assert(r.keySet == Set("a", "b"))
+    assert(r.values.map(_._2).toSet == Set(0L))
+  }
+
   test("hub node outranks leaves") {
     val star = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3", "hub" -> "l4")
     val r = rankMap(GraphOps.pageRank(star, iterations = 3))

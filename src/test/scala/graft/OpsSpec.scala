@@ -140,6 +140,35 @@ class OpsSpec extends AnyFunSuite {
         "load:query" -> "engine:spark"))
   }
 
+  test("dedupClusters: supplementary-plane ids label identically on both paths") {
+    // U+10000 (surrogate pair) vs U+FFFF: UTF-16 code-unit order and
+    // Spark's UTF-8 binary order DISAGREE on which is smaller — the fast
+    // path must use byte order or the component label flips with the gate
+    val hi = "￿-bmp"
+    val supp = new String(Character.toChars(0x10000)) + "-supp"
+    val pairs = Seq((hi, supp), (supp, hi)).toDF("doc_a", "doc_b")
+    val local = DedupOps.dedupClustersStats(pairs)._1
+      .as[(String, String)].collect().toMap
+    val dist = DedupOps.dedupClustersStats(pairs, localThreshold = 0)._1
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+    // UTF-8 binary order: U+FFFF (EF BF BF) < U+10000 (F0 90 80 80)
+    assert(local.values.toSet == Set(hi))
+  }
+
+  test("budgetSelect orders by fractional quality scores without truncation") {
+    import graft.ops.SampleOps
+    // double scores in (0,1): a long cast would collapse them all to 0
+    // and fall back to doc_id order (keeping docs 1 and 2)
+    val docs = Seq(
+      (1L, 0.1, "w w w w w w"), (2L, 0.5, "w w w"),
+      (3L, 0.9, "w w")).toDF("doc_id", "q", "text")
+    val kept = SampleOps.budgetSelect(docs, budgetTokens = 6, orderCol = "q")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // order: d3(0.9, 2 toks) cum 2, d2(0.5, 3) cum 5, d1(0.1, 6) cum 11 cut
+    assert(kept == Set((3L, 2L), (2L, 5L)))
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     // 3 identical docs + 1 distinct: all three share every band bucket
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
