@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probe for the graph-analytics family (not a driver
+  * surface): the KG oracle graphs are dictionary-bounded, so this runs the
+  * OPEN-graph paths — `pageRank(hugeGraph = true)` (Pregel schedule:
+  * co-partitioned shuffle join per iteration) and the distributed
+  * alternating-star components — on a deterministic multi-million-edge
+  * random graph, at a caller-chosen core count. Run at two parallelism
+  * levels for the same input to extend the two-cluster-size evidence
+  * beyond the KG pipeline. Deterministic: node ids are xxhash64 of the
+  * edge index — no RNG state.
+  */
+object ScratchGraphScale {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt).getOrElse(8)
+    val nEdges = args.lift(1).map(_.toLong).getOrElse(4000000L)
+    val nNodes = args.lift(2).map(_.toLong).getOrElse(200000L)
+    val spark = BenchPipeline.newSession(cores)
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = spark.range(nEdges).select(
+        concat(lit("n"), pmod(xxhash64(col("id")), lit(nNodes))).as("src"),
+        concat(lit("n"), pmod(xxhash64(col("id"), lit(1)), lit(nNodes))).as("tgt"))
+      .filter(col("src") =!= col("tgt"))
+
+    val t0 = System.nanoTime()
+    val pr = graft.ops.GraphOps.pageRank(edges, iterations = 3, hugeGraph = true)
+    val prAgg = pr.agg(count(lit(1)), sum(col("rank"))).head()
+    val prSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val (comp, rounds) = graft.ops.DedupOps.dedupClustersStats(
+      edges.select(col("src").as("doc_a"), col("tgt").as("doc_b")),
+      localThreshold = 0)
+    val nComp = comp.select(countDistinct(col("cluster"))).head().getLong(0)
+    val ccSec = (System.nanoTime() - t1) / 1e9
+
+    println(f"GRAPHSCALE cores=$cores edges=$nEdges nodes=${prAgg.getLong(0)} " +
+      f"rank_mass=${prAgg.getLong(1)} pagerank_sec=$prSec%.2f " +
+      f"components=$nComp star_rounds=$rounds components_sec=$ccSec%.2f")
+    Runtime.getRuntime.halt(0)
+  }
+}
