@@ -473,6 +473,20 @@ object SparkEntry {
         .map(k => (k, ctx.labelsCell(k))).toDF("cls", "labels")
     }),
 
+    "kg_dangling" -> ((s, dir) => {
+      // referential integrity: mention edges checked against a PARTIAL
+      // node load (doc nodes whose id ends in '0' deliberately missing —
+      // a failed batch), so the report has real dangling endpoints; two
+      // thin anti-joins + one map-side-combined count
+      val pipe = KgPipeline.analytics(s)
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
+      val partialIds = pipe.nodes(dm).toDF()
+        .filter(!(col("label") === "document" && col("id").endsWith("0")))
+        .select(col("id"))
+      graft.dedup.Dedup.danglingEdgeReport(
+        pipe.mentionEdges(dm).toDF().select(col("src"), col("tgt"), col("label")),
+        partialIds)
+    }),
     "kg_dup_report" -> ((s, dir) => {
       // duplicate canonical ids across docs (reference duplicate report
       // semantics, _core.py:559-636): one raw node per (doc, entity)
@@ -1538,6 +1552,28 @@ object SparkEntry {
         |  ('workload', '''Workload|Operation|Entity''')
         |) AS t(cls, labels)""".stripMargin,
 
+    // dangling endpoints of the mention edges vs the partial node load
+    // (doc nodes with ids ending in '0' removed)
+    "kg_dangling" ->
+      s"""$dictCte, m AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie, t.cls
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |nodes AS (
+         |  SELECT DISTINCT curie AS id, cls AS label FROM m
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, 'document' FROM m),
+         |partial AS (
+         |  SELECT DISTINCT id FROM nodes
+         |  WHERE NOT (label = 'document' AND id LIKE '%0')),
+         |e AS (SELECT DISTINCT doc_id AS src, curie AS tgt FROM m),
+         |dang AS (
+         |  SELECT 'src' AS side, 'MENTIONS' AS edge_label, e.src AS node_id
+         |  FROM e WHERE e.src NOT IN (SELECT id FROM partial)
+         |  UNION ALL
+         |  SELECT 'tgt', 'MENTIONS', e.tgt
+         |  FROM e WHERE e.tgt NOT IN (SELECT id FROM partial))
+         |SELECT side, edge_label, node_id, CAST(count(*) AS BIGINT) AS n
+         |FROM dang GROUP BY 1, 2, 3""".stripMargin,
     "kg_dup_report" ->
       s"""$dictCte, m AS (
          |  SELECT DISTINCT d.doc_id, t.curie, t.cls

@@ -71,4 +71,30 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("label"), col("_k").as("id"), col("n"))
+
+  /** Referential-integrity report — the third member of the QC family
+    * (duplicates, missing input labels, and now DANGLING EDGES): every
+    * (side, edge label, endpoint id) whose endpoint is NOT in the node id
+    * set, with its occurrence count. `neo4j-admin import` hard-fails on a
+    * missing `:START_ID`/`:END_ID`; finding them distributed, before the
+    * bulk load, beats finding them one at a time in the importer's error
+    * log. Inputs are plain frames: `edges` with (src, tgt, label),
+    * `nodeIds` with (id).
+    *
+    * 100-TB shape: two thin LEFT ANTI joins (one per side) against the
+    * node-id projection — broadcast when the node set is dictionary-
+    * bounded, a shuffled hash join on the id otherwise — followed by one
+    * map-side-combined count. The edge table is never shuffled on
+    * anything but its own endpoint column. */
+  def danglingEdgeReport(edges: DataFrame, nodeIds: DataFrame): DataFrame = {
+    val ids = nodeIds.select(col("id").as("node_id")).distinct()
+    def side(tag: String, c: String): DataFrame = edges
+      .select(col(c).as("node_id"), col("label").as("edge_label"))
+      .join(ids, Seq("node_id"), "left_anti")
+      .groupBy(col("edge_label"), col("node_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(tag).as("side"), col("edge_label"), col("node_id"),
+        col("n").cast("long").as("n"))
+    side("src", "src").unionByName(side("tgt", "tgt"))
+  }
 }

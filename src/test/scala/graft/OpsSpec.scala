@@ -169,6 +169,18 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set((3L, 2L), (2L, 5L)))
   }
 
+  test("danglingEdgeReport: missing endpoints per side, counted, present ones silent") {
+    val edges = Seq(("a", "x", "MENTIONS"), ("a", "y", "MENTIONS"),
+      ("b", "x", "MENTIONS"), ("b", "y", "MENTIONS"))
+      .toDF("src", "tgt", "label")
+    val nodeIds = Seq("a", "x").toDF("id")
+    val out = graft.dedup.Dedup.danglingEdgeReport(edges, nodeIds).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("src", "MENTIONS", "b", 2L),   // b dangles twice
+      ("tgt", "MENTIONS", "y", 2L)))  // y dangles twice; a and x are fine
+  }
+
   test("lshCandidates respects the bucket-size cap") {
     // 3 identical docs + 1 distinct: all three share every band bucket
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
