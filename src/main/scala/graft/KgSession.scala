@@ -315,6 +315,26 @@ final class KgSession(
     sb.toString
   }
 
+  /** Referential-integrity report facade — the bounded-collect discipline
+    * of [[logDuplicates]] applied to [[graft.dedup.Dedup
+    * .danglingEdgeReport]]: total from a distributed count, first 20
+    * dangling (side, label, endpoint) rows in the string. Run it before a
+    * bulk import; `neo4j-admin import` would otherwise fail on the first
+    * missing `:START_ID` it meets. */
+  def logDanglingEdges(nodes: Dataset[KgNode], edges: Dataset[KgEdge]): String = {
+    val report = graft.dedup.Dedup.danglingEdgeReport(
+      edges.toDF().select(col("src"), col("tgt"), col("label")),
+      nodes.toDF().select(col("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sb = new StringBuilder
+      sb ++= s"Dangling edge endpoints: ${report.count()}\n"
+      report.orderBy("side", "edge_label", "node_id").limit(20).collect()
+        .foreach(r => sb ++= s"  ${r.get(0)} ${r.get(1)} ${r.get(2)} x${r.get(3)}\n")
+      sb.toString
+    } finally report.unpersist(blocking = false)
+  }
+
   def translate(query: String): String = ctx.translateQuery(query)
   def reverseTranslate(query: String): String = ctx.reverseTranslateQuery(query)
 

@@ -304,6 +304,38 @@ object SparkEntry {
       ss.table(sinkName)
         .select(col("id"), col("label"), col("preferredId").as("preferred_id"))
     }),
+    "kg_stream_delta_edges" -> ((s, dir) => {
+      // edge half of the streaming incremental slice: only mention edges
+      // whose (label, key) is absent from the previous snapshot emerge;
+      // snapshot keys seed the state store (initialState), same staging
+      // as kg_stream_delta
+      val pipe = KgPipeline.analytics(s)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "2")
+      import ss.implicits._
+      val prevKeys = pipe.mentionEdges(pipe.docMentions(Corpus.fromDocumentsTable(
+          ss.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 3 =!= 0))))
+        .map(e => (e.label, graft.model.KgEdge.dedupKey(e)))
+      val streamIn = streamInputArtifact(s, dir)
+      val schema = ss.read.parquet(streamIn).schema
+      val docsStream = Corpus.fromDocumentsTable(
+        ss.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+          .parquet(streamIn))
+      val edges0 = graft.translate.Translate.edges(
+        graft.extract.Mentions.toMentionEdges(
+          graft.extract.Mentions.detect(docsStream, pipe.bcDict)), pipe.bcCtx)
+        .filter(_.edge != null).map(_.edge)
+      val adds = graft.streaming.Streaming.edgeAddsStream(edges0, prevKeys, ttl = null)
+      val sinkName = "kg_stream_delta_e_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+      val q = adds.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", workDir(s, "stream-delta-e-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      ss.table(sinkName).select(col("src"), col("tgt"), col("label"))
+    }),
     "kg_triples" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
       val (_, _, t) = pipe.run(kgDocs(s, dir))
@@ -1223,6 +1255,21 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, 'document', 'doc' FROM mp)
          |SELECT id, label, preferred_id FROM (
          |  SELECT * FROM sf EXCEPT SELECT * FROM sp)""".stripMargin,
+    // the seeded edge stream must emit EXACTLY the mention edges of the
+    // full corpus absent from the snapshot subset
+    "kg_stream_delta_edges" ->
+      s"""$dictCte,
+         |mf AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')),
+         |mp AS (
+         |  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, t.curie
+         |  FROM documents d JOIN dict t ON (' '||d.text||' ') LIKE ('% '||t.term||' %')
+         |  WHERE d.doc_id % 3 <> 0)
+         |SELECT src, tgt, label FROM (
+         |  SELECT doc_id AS src, curie AS tgt, 'MENTIONS' AS label FROM mf
+         |  EXCEPT
+         |  SELECT doc_id, curie, 'MENTIONS' FROM mp)""".stripMargin,
     // the streaming edge slice must land on EXACTLY the batch mention edges
     "kg_stream_edges" ->
       s"""$dictCte

@@ -77,23 +77,40 @@ object Streaming {
         OutputMode.Append, timeoutConf(ttl), initial)(firstSeen(ttl))
   }
 
+  /** [[firstSeen]]'s edge twin, keyed on (label, relId|src_tgt). */
+  private def firstSeenEdge(ttl: String)(
+      key: (String, String), rows: Iterator[KgEdge],
+      state: GroupState[Boolean]): Iterator[KgEdge] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out =
+        if (state.exists) Iterator.empty
+        else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
+        else Iterator.empty
+      if (ttl != null) state.setTimeoutDuration(ttl)
+      out
+    }
+
   /** Per-type cross-batch edge dedup on relId / src_tgt, TTL-bounded. */
   def dedupEdgesStream(edges: Dataset[KgEdge], ttl: String = DefaultTtl): Dataset[KgEdge] = {
     import edges.sparkSession.implicits._
     edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
       .flatMapGroupsWithState[Boolean, KgEdge](
-        OutputMode.Append, timeoutConf(ttl)) {
-        (_: (String, String), rows: Iterator[KgEdge], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val out =
-              if (state.exists) Iterator.empty
-              else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
-              else Iterator.empty
-            if (ttl != null) state.setTimeoutDuration(ttl)
-            out
-          }
-      }
+        OutputMode.Append, timeoutConf(ttl))(firstSeenEdge(ttl))
+  }
+
+  /** [[nodeAddsStream]]'s edge half: only edges whose (label, dedup key)
+    * is absent from the previous snapshot emerge — the snapshot keys
+    * pre-load the state store via `initialState`, no per-micro-batch
+    * snapshot join. Same unbounded-state default and removals caveat as
+    * the node half. */
+  def edgeAddsStream(edges: Dataset[KgEdge], prevKeys: Dataset[(String, String)],
+      ttl: String = null): Dataset[KgEdge] = {
+    import edges.sparkSession.implicits._
+    val initial = prevKeys.groupByKey(identity).mapValues(_ => true)
+    edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
+      .flatMapGroupsWithState[Boolean, KgEdge](
+        OutputMode.Append, timeoutConf(ttl), initial)(firstSeenEdge(ttl))
   }
 
   /** Full streaming KG-ingestion slice: an interleaved-docs STREAM runs

@@ -258,6 +258,25 @@ class KgSessionSpec extends AnyFunSuite {
       spark.emptyDataset[RawEdge]).isEmpty)
   }
 
+  test("logDanglingEdges reports missing endpoints with counts, bounded collect") {
+    val s = session()
+    val nodes = spark.createDataset(Seq(
+      KgNode.make("a", "Protein", "id", Props.empty),
+      KgNode.make("x", "Protein", "id", Props.empty)))
+    val edges = spark.createDataset(Seq(
+      KgEdge.make(null, "a", "x", "INTERACTS", Props.empty),
+      KgEdge.make(null, "a", "ghost", "INTERACTS", Props.empty),
+      KgEdge.make(null, "phantom", "x", "INTERACTS", Props.empty)))
+    val report = s.logDanglingEdges(nodes, edges)
+    assert(report.startsWith("Dangling edge endpoints: 2\n"))
+    assert(report.contains("src INTERACTS phantom x1"))
+    assert(report.contains("tgt INTERACTS ghost x1"))
+    // fully-resolved graph: zero findings
+    assert(s.logDanglingEdges(nodes,
+        spark.createDataset(Seq(KgEdge.make(null, "a", "x", "INTERACTS", Props.empty))))
+      .startsWith("Dangling edge endpoints: 0"))
+  }
+
   test("term translation + summary report (reference _core.py:757-781)") {
     val s = session()
     assert(s.translateTerm("protein").contains("Protein"))

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.model.{KgNode, PV, Props}
+import graft.model.{KgEdge, KgNode, PV, Props}
 import graft.streaming.Streaming
 
 /** Cross-micro-batch dedup semantics (the reference's session-lifetime
@@ -60,6 +60,28 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val out = spark.table("adds_out").as[KgNode].collect()
       assert(out.map(_.id).sorted.toSeq == Seq("b", "d"))
+    } finally q.stop()
+  }
+
+  test("seeded edge adds stream: snapshot keys suppressed, unseen emerge once") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[KgEdge]
+    def e(src: String, tgt: String) =
+      KgEdge.make(null, src, tgt, "MENTIONS", Props.empty)
+    // snapshot holds the (label, src_tgt) key of a->x
+    val prevKeys = Seq(("MENTIONS", KgEdge.dedupKey(e("a", "x")))).toDS()
+    val q = Streaming.edgeAddsStream(in.toDS(), prevKeys, ttl = null)
+      .writeStream.format("memory").queryName("eadds_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(e("a", "x"), e("a", "y"))
+      q.processAllAvailable()
+      in.addData(e("a", "y"), e("b", "x"))
+      q.processAllAvailable()
+      val out = spark.table("eadds_out").as[KgEdge].collect()
+      assert(out.map(x => (x.src, x.tgt)).sorted.toSeq ==
+        Seq(("a", "y"), ("b", "x")))
     } finally q.stop()
   }
 
