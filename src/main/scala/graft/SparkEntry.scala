@@ -342,13 +342,17 @@ object SparkEntry {
       t.toDF()
     }),
     "kg_triples_fused" -> ((s, dir) => {
-      // the PRODUCTION fused path (runFused -> triplesFromSets: packed
+      // the PRODUCTION fused path (mentionSets -> triplesFromSets: packed
       // mention-set cache, shared rank+pair combiner, dense bitset) under
       // the same oracle as kg_triples — the bench path is now directly
-      // driver-gated, not only spec-parity-proven
+      // driver-gated, not only spec-parity-proven. The mention-set cache
+      // is a lazy localCheckpoint, not runFused's persist: identical
+      // sharing, but the blocks free themselves when the returned plan
+      // goes unreachable instead of leaking a CacheManager entry per
+      // invocation (ADVICE r7 #1 discipline).
       val pipe = KgPipeline.analytics(s)
-      val (_, _, t) = pipe.runFused(kgDocs(s, dir))
-      t.toDF()
+      pipe.triplesFromSets(pipe.mentionSets(kgDocs(s, dir)).localCheckpoint(false))
+        .toDF()
     }),
     "kg_cooccurrence" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
@@ -356,9 +360,11 @@ object SparkEntry {
     }),
     "kg_degree_hist" -> ((s, dir) => {
       // graph-shape QA over the production fused triple path: out-degree
-      // distribution (two map-side-combined hash aggs, hub-safe)
+      // distribution (two map-side-combined hash aggs, hub-safe). Same
+      // lazy-localCheckpoint cache as kg_triples_fused (no persist leak).
       val pipe = KgPipeline.analytics(s)
-      val (_, _, t) = pipe.runFused(kgDocs(s, dir))
+      val t = pipe.triplesFromSets(
+        pipe.mentionSets(kgDocs(s, dir)).localCheckpoint(false))
       graft.sinks.Tables.degreeHistogram(t.toDF())
     }),
     "kg_pagerank" -> ((s, dir) => {
@@ -477,25 +483,20 @@ object SparkEntry {
     "kg_headers" -> ((s, dir) => {
       import s.implicits._
       val pipe = KgPipeline.analytics(s)
-      val dm = pipe.docMentions(kgDocs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // header synthesis needs only the per-label LAYOUTS (label distinct
-      // + first(props) for the schema-undeclared labels), not a rendered
-      // corpus write — the full write path has its own specs
-      // (Neo4jSinkSpec) and bench stage (BenchStages). Each probe makes
-      // two passes over its input (thin label distinct, then firsts), so
-      // the probed sets are persisted; the remaining cost is the honest
-      // floor of whole-corpus label discovery (mention pass + node agg +
-      // co-occurrence agg)
+      // header synthesis needs only the per-label LAYOUTS, and each probe
+      // is now ONE label+firsts aggregate pass (see probeNodeLayouts), so
+      // nothing is consumed twice: no persists — the r8 shape cached dm,
+      // ns AND es at MEMORY_AND_DISK to feed two passes per probe, paying
+      // three fat materializations for what one scan per side computes.
+      // dm stays barriered (lazy localCheckpoint): the node and edge
+      // probes both start from the extraction pass. The remaining cost is
+      // the honest floor of whole-corpus label discovery (mention pass +
+      // node agg + co-occurrence agg).
+      val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       val sink = new graft.sinks.Neo4jCsvSink(pipe.bcCtx.value,
         "/tmp/graft-hdr-unwritten")
-      val ns = pipe.nodes(dm).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sink.probeNodeLayouts(ns)
-      sink.probeEdgeLayouts(es)
-      ns.unpersist(blocking = false); es.unpersist(blocking = false)
-      dm.unpersist(blocking = false)
+      sink.probeNodeLayouts(pipe.nodes(dm))
+      sink.probeEdgeLayouts(pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm)))
       sink.headerRows().toDF("label", "header")
     }),
     "kg_label_hierarchy" -> ((s, dir) => {
@@ -618,7 +619,13 @@ object SparkEntry {
       // four relationship columns PLUS one column per property)
       val pipe = KgPipeline.analytics(s)
       val dm = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
+      // barrier the edge union too: the frame machinery's label probe and
+      // the returned frame's scan are two consumers, and the co-occurrence
+      // pair aggregate is expensive enough that re-deriving it from the dm
+      // checkpoint per consumer measurably loses to replaying the
+      // (edge-sized) checkpoint blocks
       val es = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
+        .localCheckpoint(false)
       // single-frame consumer: release the shared base (see kg_node_frame)
       val (frames, base) = graft.sinks.Tables.edgeFramesWithHandle(pipe.bcCtx.value, es)
       base.unpersist(blocking = false)
@@ -644,14 +651,34 @@ object SparkEntry {
       val pipe = new KgPipeline(s, ctx, AnalyticsDomain.dict)
       val dm = pipe.docMentions(kgDocs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // HASH-repartition by label, not repartitionByRange: hash partitioning
+      // co-locates equal keys just the same (every label still lands whole
+      // in one task, so maxRecordsPerFile still yields exactly
+      // ceil(rows/batchSize) parts per label — the identical part grammar),
+      // but skips the RangePartitioner's sampling job, which re-evaluated
+      // the whole node/edge pipeline once per side before the real exchange
       val ns0 = pipe.nodes(dm)
-      val ns = ns0.repartitionByRange(8, ns0("label"))
+      val ns = ns0.repartition(8, ns0("label"))
       val es0 = pipe.mentionEdges(dm).union(pipe.cooccurrenceEdgesFrom(dm))
-      val es = es0.repartitionByRange(4, es0("label"))
+      val es = es0.repartition(4, es0("label"))
       val out = workDir(s, "import")
       val pg = new graft.sinks.PostgresCsvSink(ctx, out)
-      pg.writeNodes(ns)
-      pg.writeEdges(es)
+      // node and edge writes are independent jobs over disjoint label files;
+      // overlap them so the edge stages back-fill the node write's task tail
+      // (guide §2.6). Layout maps touched are disjoint (nodeLayouts vs
+      // edgeLayouts), staging dirs are UUID-distinct, rename targets are
+      // disjoint file names.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // materialize the shared dm cache once BEFORE forking, so the two
+        // concurrent first-actions don't race to compute the same blocks
+        dm.count()
+        val nF = Future { pg.writeNodes(ns) }
+        val eF = Future { pg.writeEdges(es) }
+        Await.result(nF, scala.concurrent.duration.Duration.Inf)
+        Await.result(eF, scala.concurrent.duration.Duration.Inf)
+      }
       dm.unpersist(blocking = false)
       // the other batch sinks share the SAME part grammar on disk; they
       // reuse the probed layouts and only differ in script codegen
@@ -724,12 +751,35 @@ object SparkEntry {
       val truth = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.3)
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint(false)
-      Seq(2, 4, 8).map { r =>
-        // r=8 is the shared artifact's own operating point — reuse it
-        val cand = if (r == 8) lshCandArtifact(s, dir)
-          else DedupOps.lshCandidates(docs, n = 2, k = 16, r = r)
-        val got = DedupOps.verifyCandidates(docs, cand, n = 2, minJ = 0.3)
-          .select(col("doc_a"), col("doc_b")).withColumn("_hit", lit(1L))
+      // the shingle-hash pass is operating-point-INDEPENDENT: one barriered
+      // (doc_id, hv) frame feeds the signature side (r = 2, 4 candidate
+      // generation) and the verification side of all three branches — the
+      // r8 plan re-tokenized and re-hashed the corpus once per consumer
+      // (8 corpus scans measured for this row; guide §2.4)
+      // (hashed itself is NOT barriered: sigs and sets each materialize
+      // once anyway, and storing the raw hv arrays a third time costs more
+      // than the one extra scan it saves)
+      val hashed = DedupOps.shingleHashes(docs, n = 2)
+      val sigs = DedupOps.minhashSignaturesFrom(hashed, k = 16).localCheckpoint(false)
+      val sets = DedupOps.shingleSetsFrom(hashed).localCheckpoint(false)
+      // verify ONCE over the distinct union of the three candidate sets,
+      // then recover each operating point's verified pairs with a semi-join
+      // — per-pair verification is deterministic, so `verified ∩ cand_r ==
+      // verify(cand_r)` row-for-row, and the exact-Jaccard join pipeline
+      // runs once instead of three times (each cand_r is barriered: it
+      // feeds the union AND its own semi-join)
+      val cands = Seq(2, 4, 8).map { r =>
+        r -> (if (r == 8) lshCandArtifact(s, dir)
+          else DedupOps.lshCandidatesFrom(sigs, k = 16, r = r).localCheckpoint(false))
+      }
+      val allCand = cands.map(_._2.select(col("doc_a"), col("doc_b")))
+        .reduce(_.union(_)).distinct()
+      val verified = DedupOps.verifyCandidatesFrom(sets, allCand, minJ = 0.3)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+      cands.map { case (r, cand) =>
+        val got = verified.join(cand.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_semi")
+          .withColumn("_hit", lit(1L))
         truth.join(got, Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
@@ -900,16 +950,29 @@ object SparkEntry {
       // (EliminateWindowPartitions folds literal keys away) and which
       // would WARN as if it were corpus-sized.
       import s.implicits._
-      val bm = TextOps.bm25TopK(tbl(s, dir, "documents"),
-          queryTerms = Seq("scan", "vector", "stream"), k = 20)
-        .collect().zipWithIndex
-        .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq.toDF("id", "rank")
-      val emb = tbl(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val ann = AnnOps.cosineTopK(emb, qv, excludeId = 0L, k = 20)
-        .collect().zipWithIndex
-        .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq.toDF("id", "rank")
+      // the two rankers are INDEPENDENT jobs over different tables; run
+      // them from two driver threads so the vector ranker's tasks back-fill
+      // the cores the lexical ranker's stage tail leaves idle (guide §2.6 —
+      // actions are only sequential because driver code calls them
+      // sequentially). Results are collected, so ordering is unaffected.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bmF = Future {
+        TextOps.bm25TopK(tbl(s, dir, "documents"),
+            queryTerms = Seq("scan", "vector", "stream"), k = 20)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+      }
+      val annF = Future {
+        val emb = tbl(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        AnnOps.cosineTopK(emb, qv, excludeId = 0L, k = 20)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+      }
+      val bm = Await.result(bmF, scala.concurrent.duration.Duration.Inf).toDF("id", "rank")
+      val ann = Await.result(annF, scala.concurrent.duration.Duration.Inf).toDF("id", "rank")
       AnnOps.rrfFuse(Seq(bm, ann))
     }),
     "ann_lsh_hist" -> ((s, dir) =>

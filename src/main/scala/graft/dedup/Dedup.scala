@@ -87,7 +87,11 @@ object Dedup {
     * map-side-combined count. The edge table is never shuffled on
     * anything but its own endpoint column. */
   def danglingEdgeReport(edges: DataFrame, nodeIds: DataFrame): DataFrame = {
-    val ids = nodeIds.select(col("id").as("node_id")).distinct()
+    // BARRIER the distinct id set: both anti-join sides consume it, and
+    // without the barrier each side re-runs the whole upstream node
+    // pipeline (measured: the r8 kg_dangling plan built the node-id
+    // aggregate twice, once per BuildRight). Node-set-sized rows.
+    val ids = graft.Barrier(nodeIds.select(col("id").as("node_id")).distinct())
     def side(tag: String, c: String): DataFrame = edges
       .select(col(c).as("node_id"), col("label").as("edge_label"))
       .join(ids, Seq("node_id"), "left_anti")

@@ -189,10 +189,14 @@ object GraphOps {
     var reached = Seq((seed, 0L)).toDF("node", "dist")
     var frontier = reached.select(col("node"))
     for (k <- 1 to hops) {
-      val next = und.join(broadcast(frontier), col("u") === col("node"))
-        .select(col("v").as("node")).distinct()
-        .join(broadcast(reached.select(col("node"))), Seq("node"), "left_anti")
-        .localCheckpoint(false)
+      // graft.Barrier, not a bare localCheckpoint: every iterative op
+      // shares the one cluster-durable barrier policy (reliable checkpoint
+      // when a checkpoint dir is configured — an executor loss mid-BFS
+      // re-serves blocks instead of failing the job)
+      val next = graft.Barrier(
+        und.join(broadcast(frontier), col("u") === col("node"))
+          .select(col("v").as("node")).distinct()
+          .join(broadcast(reached.select(col("node"))), Seq("node"), "left_anti"))
       reached = reached.unionByName(next.withColumn("dist", lit(k.toLong)))
       frontier = next
     }
@@ -228,18 +232,25 @@ object GraphOps {
   def pmiEdges(edges: DataFrame, mentions: DataFrame, ppmScale: Long = 1000000L,
       srcCol: String = "src", tgtCol: String = "tgt",
       weightCol: String = "n_docs", docCol: String = "doc_id",
-      entityCol: String = "curie"): DataFrame = {
+      entityCol: String = "curie", hugeGraph: Boolean = false): DataFrame = {
     require(ppmScale > 0, s"ppmScale must be positive: $ppmScale")
-    val df = mentions.groupBy(col(entityCol).as("_e"))
-      .agg(count(lit(1)).cast("long").as("_df"))
+    // `hugeGraph = true` drops the forced df broadcasts (an open graph's
+    // entity-frequency table is vocabulary-sized, not dictionary-bounded —
+    // the triangleSupport escape) and barriers the df aggregate, which
+    // both endpoint joins consume; the joins then shuffle on the entity.
+    // The 1-row n_total broadcast is safe at any scale.
+    def side(d: DataFrame): DataFrame =
+      if (hugeGraph) graft.Barrier(d) else broadcast(d)
+    val df = side(mentions.groupBy(col(entityCol).as("_e"))
+      .agg(count(lit(1)).cast("long").as("_df")))
     val nRow = broadcast(
       mentions.agg(count_distinct(col(docCol)).cast("long").as("n_total")))
     edges
       .select(col(srcCol).as("src"), col(tgtCol).as("tgt"),
         col(weightCol).cast("long").as("n_docs"))
-      .join(broadcast(df), col("src") === col("_e")).drop("_e")
+      .join(df, col("src") === col("_e")).drop("_e")
       .withColumnRenamed("_df", "df_src")
-      .join(broadcast(df), col("tgt") === col("_e")).drop("_e")
+      .join(df, col("tgt") === col("_e")).drop("_e")
       .withColumnRenamed("_df", "df_tgt")
       .crossJoin(nRow)
       .withColumn("lift_ppm", expr(
@@ -266,14 +277,25 @@ object GraphOps {
     * corpus never re-enters), and on the KG path the symmetrized edge
     * list is dictionary-bounded, so the wedge side BROADCASTS and the
     * degree join broadcasts too — one map-side-combined count between
-    * them. For an open graph the same plan degrades to one shuffle join
-    * keyed on the shared endpoint; per-doc pair caps upstream already
-    * bound the hub wedge count. */
+    * them. For an open graph pass `hugeGraph = true` (the [[pageRank]]
+    * escape): every `broadcast()` hint is dropped — a hint OVERRIDES the
+    * size threshold, so the unconditional hints would drive a 16M-edge
+    * wedge aggregate through the driver rather than "degrade" to a
+    * shuffle — and the edge list is barriered so its upstream runs once;
+    * the joins then shuffle on the shared endpoint, with per-doc pair
+    * caps upstream bounding the hub wedge count. */
   def triangleSupport(edges: DataFrame, ppmScale: Long = 1000000L,
-      srcCol: String = "src", tgtCol: String = "tgt"): DataFrame = {
+      srcCol: String = "src", tgtCol: String = "tgt",
+      hugeGraph: Boolean = false): DataFrame = {
     require(ppmScale > 0, s"ppmScale must be positive: $ppmScale")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // on the open-graph path the symmetrized list feeds three consumers
+    // (deg, both wedge sides) — barrier it so the upstream pipeline runs
+    // once; on the broadcast path the same sharing comes from the single
+    // broadcast exchange, so the barrier would only add a materialization
+    def side(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
       col(tgtCol).cast("string").as("tgt"))
+    val e = if (hugeGraph) graft.Barrier(e0) else e0
     val und = e.union(e.select(col("tgt").as("src"), col("src").as("tgt")))
       .select(col("src").as("u"), col("tgt").as("v"))
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -281,16 +303,16 @@ object GraphOps {
     // then count per (a,b); keeping only rows that are real edges via the
     // join back onto the pair aggregate
     val wedges = und.select(col("u").as("a"), col("v").as("c"))
-      .join(broadcast(und.select(col("u").as("b"), col("v").as("c"))), Seq("c"))
+      .join(side(und.select(col("u").as("b"), col("v").as("c"))), Seq("c"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    e.join(broadcast(wedges),
+    e.join(side(wedges),
         col("src") === col("a") && col("tgt") === col("b"), "left")
       .select(col("src"), col("tgt"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
-      .join(broadcast(deg), col("src") === col("node")).drop("node")
+      .join(side(deg), col("src") === col("node")).drop("node")
       .withColumnRenamed("deg", "deg_src")
-      .join(broadcast(deg), col("tgt") === col("node")).drop("node")
+      .join(side(deg), col("tgt") === col("node")).drop("node")
       .withColumnRenamed("deg", "deg_tgt")
       .withColumn("n_union",
         col("deg_src") + col("deg_tgt") - lit(2L) - col("n_common"))

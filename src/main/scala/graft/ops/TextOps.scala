@@ -336,13 +336,28 @@ object TextOps {
     }._1
     val langOk =
       if (keepLangs.isEmpty) lit(true) else col("predicted_lang").isin(keepLangs: _*)
+    // the signal struct rides an explode(array(e)) Generate — a predicate-
+    // pushdown BARRIER (the mentionSets trick): with the plain
+    // withColumn+filter shape, PushPredicateThroughNonJoin copied the full
+    // signal expressions into a Filter BELOW the projection, where every
+    // `_toks` reference re-ran split(text) — the token array was split and
+    // the bigram array rebuilt once per gate, in the filter AND again in
+    // the projection. Behind the Generate each signal is computed exactly
+    // once and the filter reads the generated fields.
+    val sig = struct(
+      nTok.as("n_tokens"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      repetition.as("repetition"),
+      predictedLang.as("predicted_lang"))
     documents
       .withColumn("_toks", tokens(col("text")))
-      .withColumn("n_tokens", nTok)
-      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
-      .withColumn("repetition", repetition)
-      .withColumn("predicted_lang", predictedLang)
+      .select(col("*"), explode(array(sig)).as("_q"))
       .drop("_toks")
+      .withColumn("n_tokens", col("_q.n_tokens"))
+      .withColumn("stopword_ratio", col("_q.stopword_ratio"))
+      .withColumn("repetition", col("_q.repetition"))
+      .withColumn("predicted_lang", col("_q.predicted_lang"))
+      .drop("_q")
       .filter(col("n_tokens") >= minTokens &&
         col("stopword_ratio") <= maxStopRatio &&
         col("repetition") <= maxRepetition && langOk)

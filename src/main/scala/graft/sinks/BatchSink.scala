@@ -155,16 +155,19 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
   def probeNodeLayouts(ds: Dataset[KgNode]): Map[String, LabelLayout] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val present = ds.select(col("label")).distinct().as[String].collect().sorted
-    val (declared, undeclared) = present.partition(l =>
-      ctx.spec(l).exists(_.properties.nonEmpty))
-    val firsts: Map[String, Props] =
-      if (undeclared.isEmpty) Map.empty
-      else ds.filter(col("label").isin(undeclared.toSeq: _*))
-        .groupBy(col("label")).agg(first(col("props")).as("props"))
-        .as[(String, Seq[Prop])].collect().map { case (l, p) => l -> p.toVector }.toMap
-    val layouts = declared.map(l => l -> nodeLayout(l, Vector.empty)).toMap ++
-      firsts.map { case (l, p) => l -> nodeLayout(l, p) }
+    // ONE pass: the label list and the first-row props sample come out of
+    // the same map-side-combined aggregate. The previous thin-distinct +
+    // fat-firsts split paid TWO passes whenever any label was schema-
+    // undeclared — and the "thin" pass was never actually thin here,
+    // because the node stream crosses an object boundary (typed translate
+    // map) that defeats column pruning, so both passes built full rows.
+    // first() keeps one buffered row per label per task — label-bounded.
+    val firstRows = ds.groupBy(col("label")).agg(first(col("props")).as("props"))
+      .as[(String, Seq[Prop])].collect().sortBy(_._1)
+    val (declared, undeclared) = firstRows.partition { case (l, _) =>
+      ctx.spec(l).exists(_.properties.nonEmpty) }
+    val layouts = declared.map { case (l, _) => l -> nodeLayout(l, Vector.empty) }.toMap ++
+      undeclared.map { case (l, p) => l -> nodeLayout(l, p.toVector) }
     nodeLayouts = nodeLayouts ++ ListMap(layouts.toSeq.sortBy(_._1): _*)
     layouts
   }
@@ -195,17 +198,14 @@ abstract class BatchSink(val ctx: KgContext, val outDir: String) extends EntityS
   def probeEdgeLayouts(ds: Dataset[KgEdge]): Map[String, LabelLayout] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // same one-pass label+firsts aggregate as [[probeNodeLayouts]]
     val valid = validEdges(ds)
-    val present = valid.select(col("label")).distinct().as[String].collect().sorted
-    val (declared, undeclared) = present.partition(l =>
-      ctx.schemaClassForEdgeLabel(l).flatMap(ctx.spec).exists(_.properties.nonEmpty))
-    val firsts: Map[String, Props] =
-      if (undeclared.isEmpty) Map.empty
-      else valid.filter(col("label").isin(undeclared.toSeq: _*))
-        .groupBy(col("label")).agg(first(col("props")).as("props"))
-        .as[(String, Seq[Prop])].collect().map { case (l, p) => l -> p.toVector }.toMap
-    val layouts = declared.map(l => l -> edgeLayout(l, Vector.empty)).toMap ++
-      firsts.map { case (l, p) => l -> edgeLayout(l, p) }
+    val firstRows = valid.groupBy(col("label")).agg(first(col("props")).as("props"))
+      .as[(String, Seq[Prop])].collect().sortBy(_._1)
+    val (declared, undeclared) = firstRows.partition { case (l, _) =>
+      ctx.schemaClassForEdgeLabel(l).flatMap(ctx.spec).exists(_.properties.nonEmpty) }
+    val layouts = declared.map { case (l, _) => l -> edgeLayout(l, Vector.empty) }.toMap ++
+      undeclared.map { case (l, p) => l -> edgeLayout(l, p.toVector) }
     edgeLayouts = edgeLayouts ++ ListMap(layouts.toSeq.sortBy(_._1): _*)
     layouts
   }

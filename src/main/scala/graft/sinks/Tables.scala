@@ -41,13 +41,13 @@ object Tables {
     // ObjectHashAggregate runs ONLY over labels the schema does not
     // declare — for a fully-declared schema no props row is ever
     // aggregated
-    val labels = nodes.select(col("label")).distinct().as[String].collect().sorted
-    val undeclared = labels.filterNot(l => ctx.spec(l).exists(_.properties.nonEmpty))
-    val firsts: Map[String, Seq[Prop]] =
-      if (undeclared.isEmpty) Map.empty
-      else nodes.filter(col("label").isin(undeclared.toSeq: _*))
-        .groupBy(col("label")).agg(first(col("props")).as("props"))
-        .as[(String, Seq[Prop])].collect().toMap
+    // ONE pass for label list + first-row layouts (the node stream crosses
+    // an object boundary, so the previous separate "thin" label distinct
+    // built full rows anyway — see BatchSink.probeNodeLayouts)
+    val firstRows = nodes.groupBy(col("label")).agg(first(col("props")).as("props"))
+      .as[(String, Seq[Prop])].collect().sortBy(_._1)
+    val labels = firstRows.map(_._1)
+    val firsts: Map[String, Seq[Prop]] = firstRows.toMap
     val base = nodes.select(
       col("id").as("node_id"),
       col("label").as("node_label"),
@@ -92,14 +92,11 @@ object Tables {
       : (ListMap[String, DataFrame], DataFrame) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val labels = edges.select(col("label")).distinct().as[String].collect().sorted
-    val undeclared = labels.filterNot(l =>
-      ctx.schemaClassForEdgeLabel(l).flatMap(ctx.spec).exists(_.properties.nonEmpty))
-    val firsts: Map[String, Seq[Prop]] =
-      if (undeclared.isEmpty) Map.empty
-      else edges.filter(col("label").isin(undeclared.toSeq: _*))
-        .groupBy(col("label")).agg(first(col("props")).as("props"))
-        .as[(String, Seq[Prop])].collect().toMap
+    // same one-pass label+firsts aggregate as the node side
+    val firstRows = edges.groupBy(col("label")).agg(first(col("props")).as("props"))
+      .as[(String, Seq[Prop])].collect().sortBy(_._1)
+    val labels = firstRows.map(_._1)
+    val firsts: Map[String, Seq[Prop]] = firstRows.toMap
     val base = edges.select(
       col("relId").as("relationship_id"),
       col("src").as("source_id"),

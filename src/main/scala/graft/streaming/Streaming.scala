@@ -29,11 +29,12 @@ object Streaming {
     if (ttl == null) GroupStateTimeout.NoTimeout
     else GroupStateTimeout.ProcessingTimeTimeout
 
-  /** First-seen-wins state function shared by the plain and snapshot-
-    * seeded node dedup streams. */
-  private def firstSeen(ttl: String)(
-      key: String, rows: Iterator[KgNode],
-      state: GroupState[Boolean]): Iterator[KgNode] =
+  /** First-seen-wins state function shared by EVERY dedup stream (plain
+    * and snapshot-seeded, nodes and edges — one state machine, not a
+    * per-key-type copy to keep in sync). */
+  private def firstSeenFn[K, V](ttl: String)(
+      key: K, rows: Iterator[V],
+      state: GroupState[Boolean]): Iterator[V] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
       val out =
@@ -50,7 +51,7 @@ object Streaming {
     import nodes.sparkSession.implicits._
     nodes.groupByKey(_.id)
       .flatMapGroupsWithState[Boolean, KgNode](
-        OutputMode.Append, timeoutConf(ttl))(firstSeen(ttl))
+        OutputMode.Append, timeoutConf(ttl))(firstSeenFn(ttl))
   }
 
   /** [[dedupNodesStream]] with the seen-state PRE-SEEDED from a previous
@@ -71,32 +72,21 @@ object Streaming {
   def nodeAddsStream(nodes: Dataset[KgNode], prevIds: Dataset[String],
       ttl: String = null): Dataset[KgNode] = {
     import nodes.sparkSession.implicits._
-    val initial = prevIds.groupByKey(identity).mapValues(_ => true)
+    // distinct() first: Spark fails the query at runtime on duplicate
+    // initial-state keys, and a snapshot read back from a sink after an
+    // append retry is not guaranteed to be a set (ADVICE r8)
+    val initial = prevIds.distinct().groupByKey(identity).mapValues(_ => true)
     nodes.groupByKey(_.id)
       .flatMapGroupsWithState[Boolean, KgNode](
-        OutputMode.Append, timeoutConf(ttl), initial)(firstSeen(ttl))
+        OutputMode.Append, timeoutConf(ttl), initial)(firstSeenFn(ttl))
   }
-
-  /** [[firstSeen]]'s edge twin, keyed on (label, relId|src_tgt). */
-  private def firstSeenEdge(ttl: String)(
-      key: (String, String), rows: Iterator[KgEdge],
-      state: GroupState[Boolean]): Iterator[KgEdge] =
-    if (state.hasTimedOut) { state.remove(); Iterator.empty }
-    else {
-      val out =
-        if (state.exists) Iterator.empty
-        else if (rows.hasNext) { state.update(true); Iterator.single(rows.next()) }
-        else Iterator.empty
-      if (ttl != null) state.setTimeoutDuration(ttl)
-      out
-    }
 
   /** Per-type cross-batch edge dedup on relId / src_tgt, TTL-bounded. */
   def dedupEdgesStream(edges: Dataset[KgEdge], ttl: String = DefaultTtl): Dataset[KgEdge] = {
     import edges.sparkSession.implicits._
     edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
       .flatMapGroupsWithState[Boolean, KgEdge](
-        OutputMode.Append, timeoutConf(ttl))(firstSeenEdge(ttl))
+        OutputMode.Append, timeoutConf(ttl))(firstSeenFn(ttl))
   }
 
   /** [[nodeAddsStream]]'s edge half: only edges whose (label, dedup key)
@@ -107,10 +97,12 @@ object Streaming {
   def edgeAddsStream(edges: Dataset[KgEdge], prevKeys: Dataset[(String, String)],
       ttl: String = null): Dataset[KgEdge] = {
     import edges.sparkSession.implicits._
-    val initial = prevKeys.groupByKey(identity).mapValues(_ => true)
+    // distinct() first — same duplicate-initial-state-key guard as the
+    // node half (ADVICE r8)
+    val initial = prevKeys.distinct().groupByKey(identity).mapValues(_ => true)
     edges.groupByKey(e => (e.label, KgEdge.dedupKey(e)))
       .flatMapGroupsWithState[Boolean, KgEdge](
-        OutputMode.Append, timeoutConf(ttl), initial)(firstSeenEdge(ttl))
+        OutputMode.Append, timeoutConf(ttl), initial)(firstSeenFn(ttl))
   }
 
   /** Full streaming KG-ingestion slice: an interleaved-docs STREAM runs
