@@ -450,12 +450,15 @@ object SparkEntry {
       // is the previous run's sink read back from parquet, never
       // recomputed; here both sides rebuild so the oracle can replay.
       val pipe = KgPipeline.analytics(s)
-      val docs = tbl(s, dir, "documents")
+      // ONE mention pass over the FULL corpus, barriered; each snapshot is
+      // a doc_id filter of it. Detection is a per-doc flatMap, so
+      // filter-after-detect == detect-after-filter row-for-row (the cast
+      // reproduces the parquet-side numeric predicate on the string id),
+      // runs stay contiguous for the doc-id run-distinct contract, and the
+      // r8 shape's second full extraction scan disappears.
+      val dmAll = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
       def snap(keep: org.apache.spark.sql.Column): DataFrame = {
-        // one extraction pass per snapshot shared by the node and edge
-        // branches (lazy localCheckpoint, ContextCleaner-freed)
-        val dm = pipe.docMentions(Corpus.fromDocumentsTable(docs.filter(keep)))
-          .localCheckpoint(false)
+        val dm = dmAll.filter(keep)
         pipe.nodes(dm).toDF()
           .select(lit("node").as("kind"), col("id").as("a"),
             lit("-").as("b"), col("label"))
@@ -467,7 +470,8 @@ object SparkEntry {
           .localCheckpoint(false)
       }
       graft.ops.DeltaOps.snapshotDelta(
-        snap(col("doc_id") % 3 =!= 0), snap(col("doc_id") % 3 =!= 1))
+        snap(col("doc_id").cast("long") % 3 =!= 0),
+        snap(col("doc_id").cast("long") % 3 =!= 1))
     }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
@@ -762,24 +766,18 @@ object SparkEntry {
       val hashed = DedupOps.shingleHashes(docs, n = 2)
       val sigs = DedupOps.minhashSignaturesFrom(hashed, k = 16).localCheckpoint(false)
       val sets = DedupOps.shingleSetsFrom(hashed).localCheckpoint(false)
-      // verify ONCE over the distinct union of the three candidate sets,
-      // then recover each operating point's verified pairs with a semi-join
-      // — per-pair verification is deterministic, so `verified ∩ cand_r ==
-      // verify(cand_r)` row-for-row, and the exact-Jaccard join pipeline
-      // runs once instead of three times (each cand_r is barriered: it
-      // feeds the union AND its own semi-join)
-      val cands = Seq(2, 4, 8).map { r =>
-        r -> (if (r == 8) lshCandArtifact(s, dir)
-          else DedupOps.lshCandidatesFrom(sigs, k = 16, r = r).localCheckpoint(false))
-      }
-      val allCand = cands.map(_._2.select(col("doc_a"), col("doc_b")))
-        .reduce(_.union(_)).distinct()
-      val verified = DedupOps.verifyCandidatesFrom(sets, allCand, minJ = 0.3)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-      cands.map { case (r, cand) =>
-        val got = verified.join(cand.select(col("doc_a"), col("doc_b")),
-            Seq("doc_a", "doc_b"), "left_semi")
-          .withColumn("_hit", lit(1L))
+      // three INDEPENDENT verify branches over the shared barriered
+      // sigs/sets (ScratchSweep shape comparison: a verify-the-union chain
+      // serializes the critical path — sigs → cands → verify — and
+      // measured 5.0-10.1s; three branches over shared checkpoints keep
+      // every stage independent so the scheduler overlaps them, 4.2-5.2s;
+      // the r8 no-sharing shape sat between at 5.5-6.2s)
+      Seq(2, 4, 8).map { r =>
+        // r=8 is the shared artifact's own operating point — reuse it
+        val cand = if (r == 8) lshCandArtifact(s, dir)
+          else DedupOps.lshCandidatesFrom(sigs, k = 16, r = r)
+        val got = DedupOps.verifyCandidatesFrom(sets, cand, minJ = 0.3)
+          .select(col("doc_a"), col("doc_b")).withColumn("_hit", lit(1L))
         truth.join(got, Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_truth"),
             sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))

@@ -54,13 +54,15 @@ object DedupOps {
   def jaccardPairs(documents: DataFrame, n: Int = 3, minJ: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
     // join on the 56-bit shingle hash: long equi-join beats string compare,
-    // and the md5-derived hash is what the oracle uses anyway. Cache the
-    // hashed shingle table ONCE (it feeds the df aggregate, the per-doc
-    // counts, and both self-join sides); the anti-join itself is a cheap
-    // broadcast-hash over the cached rows.
-    val allSh = shingles(documents, n)
-      .select(col("doc_id"), tokenHash(col("shingle")).as("shingle"))
-      .cache()
+    // and the md5-derived hash is what the oracle uses anyway. BARRIER the
+    // hashed shingle table (lazy localCheckpoint via graft.Barrier, not
+    // .cache(): same one-materialization sharing for its three consumers —
+    // df aggregate, per-doc counts, pair groups — but the blocks free
+    // themselves when the result goes unreachable, so the result no longer
+    // needs an EAGER checkpoint + unpersist dance and the whole operator
+    // stays lazy: one job at action time instead of a build-time job).
+    val allSh = graft.Barrier(shingles(documents, n)
+      .select(col("doc_id"), tokenHash(col("shingle")).as("shingle")))
     val hot = allSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("shingle")
     val sh = allSh.join(hot, Seq("shingle"), "left_anti")
@@ -81,20 +83,16 @@ object DedupOps {
     val pairs = grouped.select(explode(pairExpr).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val result = pairs
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // counts feeds BOTH endpoint joins — barrier it too (per-doc rows)
+    val countsB = graft.Barrier(counts)
+    pairs
+      .join(countsB.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(countsB.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-      // eager local checkpoint: the (small, minJ-filtered) result is
-      // materialized once so the shingle cache can be released here —
-      // repeated invocations no longer leak executor storage memory
-      .localCheckpoint()
-    allSh.unpersist(blocking = false)
-    result
   }
 
   /** Per-document shingle-hash array — materialized ONCE in its own

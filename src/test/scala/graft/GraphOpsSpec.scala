@@ -110,6 +110,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out(("b", "d")) == ((0L, 3L, 1L, 2L, 0L)))
   }
 
+  test("triangleSupport: hugeGraph (no broadcast hints) == broadcast path") {
+    val s = spark
+    import s.implicits._
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "tgt")
+    val bc = GraphOps.triangleSupport(es).collect().map(_.toSeq).toSet
+    val open = GraphOps.triangleSupport(es, hugeGraph = true).collect()
+      .map(_.toSeq).toSet
+    assert(open == bc)
+  }
+
+  test("pmiEdges: hugeGraph (shuffled df joins) == broadcast path") {
+    val s = spark
+    import s.implicits._
+    val es = Seq(("a", "b", 2L), ("a", "c", 1L)).toDF("src", "tgt", "n_docs")
+    val mentions = Seq(("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+      ("d3", "a"), ("d3", "c"), ("d4", "b")).toDF("doc_id", "curie")
+    val bc = GraphOps.pmiEdges(es, mentions).collect().map(_.toSeq).toSet
+    val open = GraphOps.pmiEdges(es, mentions, hugeGraph = true).collect()
+      .map(_.toSeq).toSet
+    assert(open == bc)
+  }
+
   test("triangleSupport: isolated edge has empty union and jaccard 0") {
     val s = spark
     import s.implicits._
