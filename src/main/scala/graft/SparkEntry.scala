@@ -450,15 +450,18 @@ object SparkEntry {
       // is the previous run's sink read back from parquet, never
       // recomputed; here both sides rebuild so the oracle can replay.
       val pipe = KgPipeline.analytics(s)
-      // ONE mention pass over the FULL corpus, barriered; each snapshot is
-      // a doc_id filter of it. Detection is a per-doc flatMap, so
-      // filter-after-detect == detect-after-filter row-for-row (the cast
-      // reproduces the parquet-side numeric predicate on the string id),
-      // runs stay contiguous for the doc-id run-distinct contract, and the
-      // r8 shape's second full extraction scan disappears.
-      val dmAll = pipe.docMentions(kgDocs(s, dir)).localCheckpoint(false)
+      val docs = tbl(s, dir, "documents")
+      // NOTE (r9): a shared full-corpus mention pass with per-snapshot
+      // doc_id filters was tried and measured SLOWER (3.4s vs 2.2s): the
+      // shared checkpoint serializes the critical path, while the two
+      // per-snapshot extractions below are independent subtrees the
+      // scheduler overlaps across idle cores — the dedup_recall_sweep
+      // lesson. Kept as two parallel passes deliberately.
       def snap(keep: org.apache.spark.sql.Column): DataFrame = {
-        val dm = dmAll.filter(keep)
+        // one extraction pass per snapshot shared by the node and edge
+        // branches (lazy localCheckpoint, ContextCleaner-freed)
+        val dm = pipe.docMentions(Corpus.fromDocumentsTable(docs.filter(keep)))
+          .localCheckpoint(false)
         pipe.nodes(dm).toDF()
           .select(lit("node").as("kind"), col("id").as("a"),
             lit("-").as("b"), col("label"))
@@ -470,8 +473,7 @@ object SparkEntry {
           .localCheckpoint(false)
       }
       graft.ops.DeltaOps.snapshotDelta(
-        snap(col("doc_id").cast("long") % 3 =!= 0),
-        snap(col("doc_id").cast("long") % 3 =!= 1))
+        snap(col("doc_id") % 3 =!= 0), snap(col("doc_id") % 3 =!= 1))
     }),
     "kg_schema_info" -> ((s, dir) => {
       val pipe = KgPipeline.analytics(s)
