@@ -279,6 +279,11 @@ object SparkEntry {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "2")
       import ss.implicits._
+      // NOTE (r9): deriving the snapshot ids through the fused path
+      // (triplesFromSets rdf:type subjects) was tried and measured SLOWER
+      // (3.4-5.0s vs ~3.0s): the combiner subplan runs inside the AQE-less
+      // streaming micro-batch and its extra broadcasts/barrier cost more
+      // than the SortAggregate it saves at this corpus size. Kept original.
       val prevIds = pipe.nodes(pipe.docMentions(Corpus.fromDocumentsTable(
           ss.read.parquet(s"$dir/documents.parquet")
             .filter(col("doc_id") % 3 =!= 0))))
@@ -313,10 +318,16 @@ object SparkEntry {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "2")
       import ss.implicits._
+      // snapshot edge keys in pure Catalyst: mention edges carry no relId,
+      // so dedupKey(e) == src + "_" + tgt — a two-column select over the
+      // edge view (props pruned at the serialize boundary) instead of a
+      // typed map that deserializes a KgEdge object per edge
       val prevKeys = pipe.mentionEdges(pipe.docMentions(Corpus.fromDocumentsTable(
           ss.read.parquet(s"$dir/documents.parquet")
             .filter(col("doc_id") % 3 =!= 0))))
-        .map(e => (e.label, graft.model.KgEdge.dedupKey(e)))
+        .toDF()
+        .select(col("label"), concat(col("src"), lit("_"), col("tgt")).as("k"))
+        .as[(String, String)]
       val streamIn = streamInputArtifact(s, dir)
       val schema = ss.read.parquet(streamIn).schema
       val docsStream = Corpus.fromDocumentsTable(
