@@ -474,7 +474,19 @@ final class KgPipeline(
 }
 
 object KgPipeline {
+
+  /** One pipeline per (SparkContext, config): the schema/ontology parse,
+    * trie build and the two broadcasts are CONSTANTS of the domain, not
+    * per-query work — 30+ query builders each paid them before this memo
+    * (guide §1.2 "per-task work" at the driver). Keyed on the CONTEXT
+    * (broadcasts are context-level, so one pipeline serves child sessions
+    * too — the streaming rows already rely on that); not a result cache:
+    * nothing here derives from input data. */
+  private val pipelines =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, KgConfig), KgPipeline]()
+
   /** The standard demo pipeline over the analytics domain. */
   def analytics(spark: SparkSession, config: KgConfig = KgConfig()): KgPipeline =
-    new KgPipeline(spark, AnalyticsDomain.context(config), AnalyticsDomain.dict)
+    pipelines.computeIfAbsent((spark.sparkContext, config), _ =>
+      new KgPipeline(spark, AnalyticsDomain.context(config), AnalyticsDomain.dict))
 }

@@ -664,8 +664,8 @@ object SparkEntry {
       // (reference scripts: test_neo4j.py:127-138).
       import s.implicits._
       val cfg = KgConfig(batchSize = 5000L, importCallFilePrefix = Some("/data/kg"))
-      val ctx = AnalyticsDomain.context(cfg)
-      val pipe = new KgPipeline(s, ctx, AnalyticsDomain.dict)
+      val pipe = KgPipeline.analytics(s, cfg)
+      val ctx = pipe.ctxRef
       val dm = pipe.docMentions(kgDocs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // HASH-repartition by label, not repartitionByRange: hash partitioning
