@@ -36,9 +36,25 @@ object ScratchGraphScale {
     val nComp = comp.select(countDistinct(col("cluster"))).head().getLong(0)
     val ccSec = (System.nanoTime() - t1) / 1e9
 
+    // r9: the open-graph triangleSupport leg (VERDICT r8 #1 "done"
+    // criterion) — hugeGraph drops every broadcast hint, so the wedge
+    // aggregate runs as shuffled joins on the shared endpoint instead of
+    // driving the symmetrized edge list through the driver. Enabled with
+    // a 4th arg "tri" (the wedge set is ~Σdeg² rows — deliberately heavy).
+    val triStr =
+      if (!args.lift(3).contains("tri")) ""
+      else {
+        val t2 = System.nanoTime()
+        val tri = graft.ops.GraphOps.triangleSupport(edges, hugeGraph = true)
+        val triAgg = tri.agg(count(lit(1)), sum(col("n_common"))).head()
+        val triSec = (System.nanoTime() - t2) / 1e9
+        f" triangle_edges=${triAgg.getLong(0)} triangle_common_sum=${triAgg.getLong(1)} " +
+          f"triangle_sec=$triSec%.2f"
+      }
+
     println(f"GRAPHSCALE cores=$cores edges=$nEdges nodes=${prAgg.getLong(0)} " +
       f"rank_mass=${prAgg.getLong(1)} pagerank_sec=$prSec%.2f " +
-      f"components=$nComp star_rounds=$rounds components_sec=$ccSec%.2f")
+      f"components=$nComp star_rounds=$rounds components_sec=$ccSec%.2f" + triStr)
     Runtime.getRuntime.halt(0)
   }
 }
