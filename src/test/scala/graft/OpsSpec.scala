@@ -328,6 +328,25 @@ class OpsSpec extends AnyFunSuite {
     assert(single.subsetOf(multi) || multi.size == 50) // probe set ⊇ bucket
   }
 
+  test("jaccardPairs matches a hand-computed reference (r9 pair-emission shape)") {
+    // doc1/doc2 share most bigrams; doc3 shares none. Shingles are
+    // per-doc-distinct word bigrams. doc1: {a b, b c, c d} doc2: {a b,
+    // b c, c x} -> common 2, union 4 -> jaccard 0.5; pairs with doc3: 0.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "p q r s"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+    // maxDf stop-shingle cap: with maxDf = 1 every shared shingle is
+    // "hot", so no pair can form and per-doc counts exclude hot shingles
+    val capped = DedupOps.jaccardPairs(docs, n = 2, minJ = 0.0, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("verifiedNearDupPairs: exact jaccard verifies LSH candidates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
