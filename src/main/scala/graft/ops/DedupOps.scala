@@ -61,8 +61,18 @@ object DedupOps {
     // themselves when the result goes unreachable, so the result no longer
     // needs an EAGER checkpoint + unpersist dance and the whole operator
     // stays lazy: one job at action time instead of a build-time job).
-    val allSh = graft.Barrier(shingles(documents, n)
-      .select(col("doc_id"), tokenHash(col("shingle")).as("shingle")))
+    // Hashing is the fused ShingleHashSet expression (r9, guide §4): the
+    // builtin shingles() chain built every window string in an INTERPRETED
+    // transform lambda and round-tripped md5 through hex+conv — parity
+    // proven in NgramHashSpec (string-space distinct, raw 56-bit hash,
+    // short docs emit nothing), measured ~3-5x on the selfgram twin.
+    val allSh = locally {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      graft.Barrier(documents
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(column(
+          graft.functions.ShingleHashSet(expression(col("toks")), n))).as("shingle")))
+    }
     val hot = allSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("shingle")
     val sh = allSh.join(hot, Seq("shingle"), "left_anti")
@@ -102,15 +112,14 @@ object DedupOps {
     * elimination; CollapseProject keeps this boundary because the
     * producer expression is non-cheap and consumed k times). */
   private[graft] def shingleHashes(documents: DataFrame, n: Int): DataFrame = {
-    val toks = col("toks")
-    val shingleArr = when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "),
-      ))).otherwise(array(col("text")))  // short docs: whole text as shingle
-    documents.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        transform(shingleArr, s => pmod(tokenHash(s), lit(Mod))).as("hv"))
+    // fused ShingleHashSetText expression (r9, guide §4) replacing the
+    // interpreted transform + md5-hex-conv chain — parity in
+    // NgramHashSpec: string-space distinct (hash collisions keep both
+    // values), pmod(·, Mod), short docs hash the WHOLE TEXT as one gram
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    documents.select(col("doc_id"),
+      column(graft.functions.ShingleHashSetText(
+        expression(tokens(col("text"))), expression(col("text")), n, Mod)).as("hv"))
   }
 
   /** MinHash signature columns sig0..sig{k-1} over word n-gram shingles.
@@ -497,22 +506,22 @@ object DedupOps {
     * addition, and the inner join keeps only shared spans — typically a
     * small fraction — before anything re-aggregates. */
   def selfNgramSpans(documents: DataFrame, n: Int = 8, minDf: Long = 2L): DataFrame = {
-    val toks = col("toks")
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     // ONE barriered positional pass: the df side derives from the same
     // rows (df counts each document once per gram however often the doc
     // repeats it, so `count_distinct(doc_id)` over occurrences ==
     // `count(*)` over the per-doc-distinct gram set — the r8 shape paid a
     // SECOND full tokenize+md5 Generate pass for exactly that set), and
     // the final join replays the barrier instead of re-hashing the corpus.
+    // The per-window hashes come from the fused NgramHashAll expression
+    // (element i = window starting at token i+1, so posexplode's 0-based
+    // pos + 1 IS start_pos — same rows as the old positional gram chain).
     val pos = graft.Barrier(documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), posexplode(
+        column(graft.functions.NgramHashAll(
+          expression(tokens(col("text"))), n, TextOps.Mod))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("start_pos"),
-        pmod(tokenHash(col("col")), lit(Mod)).as("h")))
+        col("col").as("h")))
     val shared = pos.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)

@@ -95,14 +95,16 @@ object TextOps {
 
   /** Distinct hashed word n-grams of a text column (portable 56-bit md5
     * hashes mod [[Mod]]); a doc shorter than `n` tokens contributes its
-    * whole text as one gram — the same convention as the shingle family. */
+    * whole text as one gram — the same convention as the shingle family.
+    *
+    * r9: one fused codegen'd expression ([[graft.functions.NgramHashSet]])
+    * instead of the interpreted transform chain that allocated the joined
+    * gram string, its UTF-8 encode copy, the md5 hex string and the conv
+    * parse per gram occurrence — bit-identical results (NgramHashSpec
+    * parity suite + the DuckDB oracle). */
   def ngramHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
-    array_distinct(transform(grams, g => pmod(tokenHash(g), lit(Mod))))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.NgramHashSet(expression(tokens(text)), n, Mod))
   }
 
   /** Benchmark-contamination check — the GPT-3/C4-style n-gram overlap
