@@ -19,6 +19,19 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Non-empty tokens via codegen'd `array_remove` — bit-identical to
+    * `filter(toks, x => x =!= "")` (split yields no nulls, order kept),
+    * but higher-order `filter` lambdas are INTERPRETED per element (r9,
+    * guide §4) while ArrayRemove is whole-stage codegen. */
+  private[graft] def tokensNonEmpty(text: Column): Column =
+    array_remove(tokens(text), "")
+
+  /** Occurrence count of `term` in a token array, codegen'd:
+    * `size(filter(toks, x => x === term))` == size(toks) −
+    * size(array_remove(toks, term)) — same interpreted-lambda escape. */
+  private[graft] def countOcc(toks: Column, term: String): Column =
+    (size(toks) - size(array_remove(toks, term))).cast("long")
+
   /** (doc_id, n_tokens, n_distinct, n_chars). */
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
@@ -64,7 +77,10 @@ object TextOps {
   def qualityScores(documents: DataFrame, stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    // codegen'd stopword count: total minus the array with every stopword
+    // removed (== the interpreted isin-filter's size, r9 guide §4)
+    val nStop = (size(toks) -
+      size(stopwords.foldLeft(toks)((acc, sw) => array_remove(acc, sw)))).cast("long")
     val sumLen = (length(col("text")) - (size(toks) - 1)).cast("long")
     documents.select(
       col("doc_id"),
@@ -288,7 +304,7 @@ object TextOps {
       Seq("the" -> "en", "a" -> "es", "data" -> "de")): DataFrame = {
     val toks = tokens(col("text"))
     val counts = markers.map { case (m, lang) =>
-      size(filter(toks, t => t === m)).cast("long").as(s"n_$lang")
+      countOcc(toks, m).as(s"n_$lang")
     }
     val withCounts = documents.select((col("doc_id") +: col("lang").as("actual_lang") +: counts): _*)
     // argmax with deterministic tie-break: earlier marker in list wins ties
@@ -321,7 +337,10 @@ object TextOps {
       markers: Seq[(String, String)] = Seq("the" -> "en", "a" -> "es", "data" -> "de")): DataFrame = {
     val toks = col("_toks")
     val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    // codegen'd counts (see qualityScores/countOcc — the interpreted
+    // filter lambdas ran per token per gate)
+    val nStop = (size(toks) -
+      size(stopwords.foldLeft(toks: Column)((acc, sw) => array_remove(acc, sw)))).cast("long")
     val grams = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => array_join(slice(toks, i, lit(2)), " ")))
@@ -329,7 +348,7 @@ object TextOps {
     val repetition =
       round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
     val langCounts: Seq[(String, Column)] = markers.map { case (m, lang) =>
-      lang -> size(filter(toks, t => t === m)).cast("long")
+      lang -> countOcc(toks, m)
     }
     val predictedLang = langCounts.tail.foldLeft(
       (lit(langCounts.head._1), langCounts.head._2)
@@ -368,7 +387,7 @@ object TextOps {
   /** Non-empty consecutive token pairs of a text column as "w1 w2"
     * strings — the bigram stream of [[lmScore]]. */
   private def bigramsOf(text: Column): Column = {
-    val t = filter(tokens(text), x => x =!= "")
+    val t = tokensNonEmpty(text)
     val len = greatest(size(t) - 1, lit(0))
     zip_with(
       slice(t, lit(1), len),
@@ -409,7 +428,7 @@ object TextOps {
     import spark.implicits._
     val bg = bigramsOf(col("text"))
     val uniRows = documents
-      .select(explode(filter(tokens(col("text")), x => x =!= "")).as("w1"))
+      .select(explode(tokensNonEmpty(col("text"))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("w1")).limit(maxModel)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -454,7 +473,7 @@ object TextOps {
       maxDfPpm: Long = 100000L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val toks = documents.select(col("doc_id"),
-      explode(filter(tokens(col("text")), x => x =!= "")).as("token"))
+      explode(tokensNonEmpty(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("token")).distinct()
@@ -508,10 +527,9 @@ object TextOps {
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
     require(k > 0, s"k must be positive: $k")
     val tfStructs = array(queryTerms.map(q =>
-      struct(lit(q).as("term"),
-        size(filter(col("_t"), x => x === q)).cast("long").as("tf"))): _*)
+      struct(lit(q).as("term"), countOcc(col("_t"), q).as("tf"))): _*)
     val perDoc = documents
-      .withColumn("_t", filter(tokens(col("text")), x => x =!= ""))
+      .withColumn("_t", tokensNonEmpty(col("text")))
       .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
         tfStructs.as("_tfs"))
       // thin (id, dl, |query| longs) rows; the lazy barrier shares the
